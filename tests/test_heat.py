@@ -1,0 +1,22 @@
+"""Heat workload parity vs the NumPy oracle."""
+
+import numpy as np
+
+from baselines import numpy_ref
+from tpufem.workloads import heat
+
+
+def test_heat_parity_50_steps(mesh21):
+    u, maxu = heat.run(mesh21, heat.HeatConfig(steps=50))
+    u_ref = numpy_ref.heat_run(mesh21.coords, mesh21.tris, mesh21.markers, steps=50)
+    l2 = np.linalg.norm(np.asarray(u) - u_ref) / np.linalg.norm(u_ref)
+    assert l2 < 1e-8
+    assert maxu.shape == (50,)
+
+
+def test_heat_steady_state_is_bounded(mesh21):
+    """With zero source the implicit solve relaxes toward BC-driven values;
+    max|u| must stay bounded by the boundary data (max value 1.0)."""
+    u, maxu = heat.run(mesh21, heat.HeatConfig(steps=200))
+    assert float(np.asarray(maxu).max()) <= 1.0 + 1e-9
+    assert np.isfinite(np.asarray(u)).all()

@@ -1,0 +1,155 @@
+"""Diagnostics: preflight mesh checks, operator verification, run guards.
+
+The reference's verification idioms (SURVEY.md §4) promoted to reusable,
+assertable functions — its "Tests A–J" (``/root/reference/scripts/
+stokes_report.py:343-808``), preflight mesh-quality/CFL/orientation checks
+(``:856-895``), eigenvalue sanity (``:950-958``), and the per-step
+divergence/NaN blow-up guards that served as its de-facto failure detector.
+pytest wraps these in ``tests/test_diag.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.mesh.core import Mesh
+from tpufem.ops import assembly, calculus
+
+
+# ---------------------------------------------------------------------------
+# Preflight checks
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MeshQualityReport:
+    min_area: float
+    max_area: float
+    avg_area: float
+    min_edge: float
+    n_degenerate: int
+    n_cw: int  # clockwise-oriented (negative signed det) triangles
+    ok: bool
+
+    def viscous_cfl_dt(self, nu: float) -> float:
+        """Advisory stable dt ≈ min_edge² / (4ν) (stokes_report.py:874-878)."""
+        return self.min_edge**2 / (4.0 * nu) if nu > 0 else float("inf")
+
+
+def preflight(mesh: Mesh, area_warn: float = 1e-10) -> MeshQualityReport:
+    """Mesh quality + orientation census (stokes_report.py:856-895)."""
+    pc = mesh.coords[mesh.tris]
+    e01 = np.linalg.norm(pc[:, 0] - pc[:, 1], axis=1)
+    e12 = np.linalg.norm(pc[:, 1] - pc[:, 2], axis=1)
+    e20 = np.linalg.norm(pc[:, 2] - pc[:, 0], axis=1)
+    min_edge = float(np.min([e01.min(), e12.min(), e20.min()]))
+    n_cw = int(np.sum(mesh.det < 0))
+    n_deg = int(np.sum(~mesh.valid))
+    return MeshQualityReport(
+        min_area=float(mesh.area.min()),
+        max_area=float(mesh.area.max()),
+        avg_area=float(mesh.area.mean()),
+        min_edge=min_edge,
+        n_degenerate=n_deg,
+        n_cw=n_cw,
+        ok=(mesh.area.min() > area_warn) and n_deg == 0,
+    )
+
+
+def pressure_matrix_eigen_check(A: jnp.ndarray, n_negative_tol: int = 1):
+    """Eigenvalue sign census of the pressure operator
+    (stokes_report.py:950-958).  Returns (min_eig, max_eig, n_negative)."""
+    eig = np.linalg.eigvalsh(np.asarray(0.5 * (A + A.T)))
+    return float(eig.min()), float(eig.max()), int(np.sum(eig < -1e-10))
+
+
+# ---------------------------------------------------------------------------
+# Operator verification (the reference's analytic-field tests)
+# ---------------------------------------------------------------------------
+
+
+def gradient_test(mesh: Mesh):
+    """Test: p = 2x + 3y ⇒ ∇p = (2, 3) (stokes_report.py:388-407).
+    Returns the mean nodal gradient (should be ≈ (2, 3))."""
+    coords = jnp.asarray(mesh.coords)
+    p = 2.0 * coords[:, 0] + 3.0 * coords[:, 1]
+    g = calculus.gradient(mesh, p)
+    return jnp.mean(g, axis=0)
+
+
+def divergence_test(mesh: Mesh):
+    """Test: u = (2x, 3y) ⇒ div u = 5 (stokes_report.py:410-431).
+    Returns the mean nodal divergence (should be ≈ 5)."""
+    coords = jnp.asarray(mesh.coords)
+    u = jnp.stack([2.0 * coords[:, 0], 3.0 * coords[:, 1]], axis=1)
+    return jnp.mean(calculus.divergence(mesh, u))
+
+
+def adjointness_test(mesh: Mesh, seed: int = 0):
+    """⟨∇p, u⟩_M ≈ −⟨p, ∇·u⟩_M with lumped-mass inner products on random
+    fields zeroed on the boundary (stokes_report.py:532-591).
+    Returns the relative mismatch."""
+    rng = np.random.default_rng(seed)
+    n = mesh.n_nodes
+    boundary = mesh.markers != 0
+    p = rng.standard_normal(n)
+    u = rng.standard_normal((n, 2))
+    p[boundary] = 0.0
+    u[boundary] = 0.0
+    p = jnp.asarray(p)
+    u = jnp.asarray(u)
+    mass = assembly.lumped_mass(mesh)
+    g = calculus.gradient(mesh, p)
+    d = calculus.divergence(mesh, u)
+    lhs = jnp.sum(mass * jnp.sum(g * u, axis=1))
+    rhs = -jnp.sum(mass * p * d)
+    return jnp.abs(lhs - rhs) / (jnp.abs(rhs) + 1e-30)
+
+
+def laplacian_vs_divgrad_test(mesh: Mesh, sigma: float = 0.1):
+    """Pearson correlation between K p (FEM Laplacian, mass-normalized) and
+    −div(grad p) on a Gaussian blob (stokes_report.py:482-529)."""
+    coords = np.asarray(mesh.coords)
+    p = np.exp(
+        -((coords[:, 0] - 0.5) ** 2 + (coords[:, 1] - 0.5) ** 2) / (2 * sigma**2)
+    )
+    p = jnp.asarray(p)
+    K = assembly.assemble_dense(mesh, assembly.element_stiffness(mesh))
+    mass = assembly.lumped_mass(mesh)
+    lap_fem = (K @ p) / (mass + 1e-12)
+    g = calculus.gradient(mesh, p)
+    lap_composed = -calculus.divergence(mesh, g)
+    interior = np.asarray(mesh.markers) == 0
+    a = np.asarray(lap_fem)[interior]
+    b = np.asarray(lap_composed)[interior]
+    return float(np.corrcoef(a, -b)[0, 1])
+
+
+def checkerboard_response(mesh: Mesh):
+    """LBB probe: lumped divergence magnitude of a ±1 checkerboard velocity
+    (stokes_report.py:343-385).  Near-zero response ⇒ the projection is
+    blind to this mode (the reference's known accuracy limiter)."""
+    rng = np.random.default_rng(0)
+    sign = np.where(rng.integers(0, 2, mesh.n_nodes) > 0, 1.0, -1.0)
+    u = jnp.asarray(np.stack([sign, -sign], axis=1))
+    return jnp.max(jnp.abs(calculus.divergence(mesh, u)))
+
+
+def projection_reduces_divergence(step_results: dict) -> bool:
+    """Single-step projection oracle (scripts/test2.py, final_test.py):
+    after a projection step the divergence must drop substantially."""
+    return step_results["final_div"] < 0.5 * step_results["initial_div"]
+
+
+# ---------------------------------------------------------------------------
+# Run-time guards (the numerical "sanitizers")
+# ---------------------------------------------------------------------------
+
+
+def blowup_guard(u: jnp.ndarray, max_mag: float = 1e3) -> jnp.ndarray:
+    """True if the field is finite and bounded — the functional analog of the
+    reference's printed Max-U / Final-Div blow-up watching (SURVEY.md §5)."""
+    return jnp.isfinite(u).all() & (jnp.max(jnp.abs(u)) < max_mag)

@@ -1,0 +1,106 @@
+"""Built-in mesh generation (no external Triangle binary required).
+
+The reference depends on offline runs of Shewchuk's *Triangle*
+(command lines recorded in e.g. ``/root/reference/resources/mesh2.1.poly``).
+To keep the framework standalone we generate comparable meshes in-process:
+a unit square, optionally with a circular hole ("annulus" squirmer domain),
+with left/right boundary nodes at matching y positions so periodic-in-x
+pairing is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import Delaunay
+
+from tpufem.mesh.core import Mesh, mesh_from_arrays
+
+
+def generate_rect_mesh(nx: int = 20, ny: int = 20, L: float = 1.0, H: float = 1.0) -> Mesh:
+    """Structured triangulation of [0,L]×[0,H]; boundary nodes marker=1."""
+    xs = np.linspace(0.0, L, nx)
+    ys = np.linspace(0.0, H, ny)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    coords = np.stack([gx.ravel(), gy.ravel()], axis=1)
+
+    def nid(i, j):
+        return i * ny + j
+
+    tris = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a, b, c, d = nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)
+            tris.append((a, b, c))
+            tris.append((a, c, d))
+    tris = np.asarray(tris, dtype=np.int32)
+
+    on_boundary = (
+        np.isclose(coords[:, 0], 0.0)
+        | np.isclose(coords[:, 0], L)
+        | np.isclose(coords[:, 1], 0.0)
+        | np.isclose(coords[:, 1], H)
+    )
+    markers = np.where(on_boundary, 1, 0).astype(np.int32)
+    return mesh_from_arrays(coords, tris, markers)
+
+
+def generate_annulus_mesh(
+    n_side: int = 24,
+    n_circle: int = 32,
+    L: float = 1.0,
+    H: float = 1.0,
+    center: tuple[float, float] = (0.5, 0.5),
+    radius: float = 0.25,
+    outer_marker: int = 1,
+    inner_marker: int = 2,
+    jitter: float = 0.0,
+    seed: int = 0,
+) -> Mesh:
+    """Unit square with a circular hole — the squirmer domain.
+
+    Matches the *shape* of the bundled meshes (outer marker 1, inner circle
+    marker 2, hole at ``center``; cf. ``/root/reference/resources/mesh5.1.poly``)
+    without using Triangle.  Left/right boundary nodes share identical y
+    grids so periodic pairing is exact.
+    """
+    cx, cy = center
+    xs = np.linspace(0.0, L, n_side)
+    ys = np.linspace(0.0, H, n_side)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+
+    if jitter > 0:
+        rng = np.random.default_rng(seed)
+        interior = (
+            (pts[:, 0] > 0) & (pts[:, 0] < L) & (pts[:, 1] > 0) & (pts[:, 1] < H)
+        )
+        h = L / (n_side - 1)
+        pts[interior] += rng.uniform(-jitter * h, jitter * h, size=(interior.sum(), 2))
+
+    # drop grid points inside (or too close to) the hole, add an exact ring
+    d = np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
+    keep = d > radius * 1.18
+    pts = pts[keep]
+    theta = np.linspace(0.0, 2 * np.pi, n_circle, endpoint=False)
+    ring = np.stack([cx + radius * np.cos(theta), cy + radius * np.sin(theta)], axis=1)
+    coords = np.concatenate([pts, ring], axis=0)
+
+    tri = Delaunay(coords)
+    simplices = tri.simplices.astype(np.int32)
+    # remove triangles whose centroid lies inside the hole
+    cent = coords[simplices].mean(axis=1)
+    outside = np.hypot(cent[:, 0] - cx, cent[:, 1] - cy) > radius
+    simplices = simplices[outside]
+
+    ring_ids = np.arange(len(pts), len(coords))
+    markers = np.zeros(coords.shape[0], dtype=np.int32)
+    on_outer = (
+        np.isclose(coords[:, 0], 0.0)
+        | np.isclose(coords[:, 0], L)
+        | np.isclose(coords[:, 1], 0.0)
+        | np.isclose(coords[:, 1], H)
+    )
+    markers[on_outer] = outer_marker
+    markers[ring_ids] = inner_marker
+    holes = np.asarray([[cx, cy]])
+    return mesh_from_arrays(coords, simplices, markers, holes=holes)

@@ -1,0 +1,106 @@
+"""Discrete nodal vector calculus: divergence, gradient, vorticity.
+
+These are the matrix-free node-field → node-field operators the reference
+evaluates with Python element loops every step
+(``/root/reference/code/StokesColor.py:130-165`` divergence,
+``:224-263`` gradient, ``scripts/stokes_clean_for_report.py:309-344``
+vorticity, ``:267-307`` consistent RHS).  Semantics are preserved exactly:
+
+* element-constant derivative via the signed determinant,
+* ⅓-area lumping to nodes,
+* normalization by the accumulated ⅓-areas (+1e-12),
+* degenerate triangles (|det| < 1e-14) contribute nothing — including to
+  the accumulated area.
+
+Each function is a pure jittable map compiled to one fused
+gather → elementwise → segment-sum pipeline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.mesh.core import Mesh
+from tpufem.ops.assembly import _f
+
+_EPS_AREA = 1e-12
+
+
+def _lump(mesh: Mesh, per_element: jnp.ndarray) -> jnp.ndarray:
+    """Scatter a per-element quantity to nodes with ⅓-area lumping and
+    normalize by the accumulated area (reference's shared idiom)."""
+    area = _f(mesh, mesh.area)
+    valid = _f(mesh, mesh.valid)
+    w = jnp.where(valid != 0, area / 3.0, 0.0)
+    seg = jnp.asarray(mesh.tris).reshape(-1)
+    n = mesh.n_nodes
+
+    def scatter(q):
+        contrib = jnp.broadcast_to((q * w)[:, None], (mesh.n_tris, 3)).reshape(-1)
+        return jax.ops.segment_sum(contrib, seg, num_segments=n)
+
+    area_sum = jax.ops.segment_sum(
+        jnp.broadcast_to(w[:, None], (mesh.n_tris, 3)).reshape(-1), seg, num_segments=n
+    )
+    if per_element.ndim == 1:
+        return scatter(per_element) / (area_sum + _EPS_AREA)
+    cols = [scatter(per_element[:, k]) for k in range(per_element.shape[1])]
+    return jnp.stack(cols, axis=1) / (area_sum + _EPS_AREA)[:, None]
+
+
+def element_gradient(mesh: Mesh, p: jnp.ndarray) -> jnp.ndarray:
+    """(T, 2) element-constant gradient of a nodal scalar p."""
+    # stored grads = diffs/det — identical to the reference's basis-gradient
+    # stack in calculate_gradiant (StokesColor.py:244-248).
+    grads = _f(mesh, mesh.grads)  # (T,3,2)
+    p_loc = p[mesh.tris]  # (T,3)
+    return jnp.einsum("ti,tid->td", p_loc, grads)
+
+
+def gradient(mesh: Mesh, p: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2) lumped nodal gradient (``calculate_gradiant`` parity)."""
+    return _lump(mesh, element_gradient(mesh, p))
+
+
+def element_divergence(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:
+    """(T,) element-constant divergence of nodal velocity u (N, 2)."""
+    grads = _f(mesh, mesh.grads)
+    u_loc = u[mesh.tris]  # (T,3,2)
+    dudx = jnp.einsum("ti,ti->t", u_loc[..., 0], grads[..., 0])
+    dvdy = jnp.einsum("ti,ti->t", u_loc[..., 1], grads[..., 1])
+    return dudx + dvdy
+
+
+def divergence(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:
+    """(N,) lumped nodal divergence (``calculate_divergence`` parity)."""
+    return _lump(mesh, element_divergence(mesh, u))
+
+
+def vorticity(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:
+    """(N,) lumped nodal vorticity ω = ∂u_y/∂x − ∂u_x/∂y.
+
+    Cf. ``/root/reference/scripts/stokes_clean_for_report.py:309-344``.
+    """
+    grads = _f(mesh, mesh.grads)
+    u_loc = u[mesh.tris]
+    duy_dx = jnp.einsum("ti,ti->t", u_loc[..., 1], grads[..., 0])
+    dux_dy = jnp.einsum("ti,ti->t", u_loc[..., 0], grads[..., 1])
+    return _lump(mesh, duy_dx - dux_dy)
+
+
+def consistent_divergence_rhs(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:
+    """(N,) consistent pressure RHS: b_i = −∫ ∇φ_i · ū dV, element-avg ū.
+
+    Cf. ``/root/reference/scripts/stokes_clean_for_report.py:267-307``.
+    """
+    grads = _f(mesh, mesh.grads)
+    area = _f(mesh, mesh.area)
+    valid = _f(mesh, mesh.valid)
+    u_avg = u[mesh.tris].mean(axis=1)  # (T,2)
+    contrib = -jnp.einsum("td,tid->ti", u_avg, grads) * area[:, None]
+    contrib = jnp.where(valid[:, None] != 0, contrib, 0.0)
+    return jax.ops.segment_sum(
+        contrib.reshape(-1), jnp.asarray(mesh.tris).reshape(-1),
+        num_segments=mesh.n_nodes,
+    )

@@ -1,0 +1,68 @@
+"""Static-shape sparse operators (CSR / padded-ELL) and their matvecs.
+
+The matrix-free path for meshes too large for dense MXU solves, and the
+building block for the sharded multi-chip CG.  Shapes are static: the
+sparsity pattern is computed once on the host, so the jitted matvec is a
+gather → multiply → segment-sum with fixed sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CSROperator:
+    """Compressed-sparse-row matrix with static pattern.
+
+    ``indptr``/``indices`` live as NumPy (compile-time constants); ``data``
+    is a device array so values can be re-assembled (e.g. C(u) each step)
+    without recompiling.
+    """
+
+    indptr: np.ndarray  # (N+1,) int32
+    indices: np.ndarray  # (nnz,) int32
+    data: jnp.ndarray  # (nnz,)
+    shape: tuple[int, int]
+
+    @property
+    def row_ids(self) -> np.ndarray:
+        return np.repeat(
+            np.arange(self.shape[0], dtype=np.int32), np.diff(self.indptr)
+        )
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return csr_matvec(self, x)
+
+    def todense(self) -> jnp.ndarray:
+        out = jnp.zeros(self.shape, dtype=self.data.dtype)
+        return out.at[self.row_ids, self.indices].add(self.data)
+
+    def with_data(self, data: jnp.ndarray) -> "CSROperator":
+        return dataclasses.replace(self, data=data)
+
+
+def csr_matvec(op: CSROperator, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x via gather + segment_sum (row ids are sorted ⇒ the
+    segment reduction lowers to an efficient scan on TPU)."""
+    gathered = op.data * x[op.indices]
+    return jax.ops.segment_sum(
+        gathered,
+        jnp.asarray(self_rows(op)),
+        num_segments=op.shape[0],
+        indices_are_sorted=True,
+    )
+
+
+_ROWS_CACHE: dict[int, np.ndarray] = {}
+
+
+def self_rows(op: CSROperator) -> np.ndarray:
+    key = id(op.indptr)
+    if key not in _ROWS_CACHE:
+        _ROWS_CACHE[key] = op.row_ids
+    return _ROWS_CACHE[key]

@@ -1,0 +1,122 @@
+"""Conjugate-gradient solvers (matrix-free, jittable, scan-friendly).
+
+The large-mesh path: the pressure-Poisson and viscous systems are SPD (with
+periodic DOF-merging instead of the reference's CG-hostile ±1e10 penalty —
+SURVEY.md §7.3), so CG with a Jacobi preconditioner and optional constant-
+nullspace deflation replaces dense solves.
+
+Two drivers:
+
+* :func:`cg` — tolerance-controlled ``lax.while_loop`` (fast exit),
+* :func:`cg_fixed` — fixed iteration count under ``lax.scan`` so the whole
+  timestep compiles to a static program (preferred inside scan bodies; the
+  returned residual norm is still reported for observability).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _deflate(x: jnp.ndarray, weights: jnp.ndarray | None) -> jnp.ndarray:
+    """Project out the constant nullspace component (weighted mean)."""
+    if weights is None:
+        return x - jnp.mean(x)
+    return x - jnp.sum(x * weights) / jnp.sum(weights)
+
+
+def cg(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    tol: float = 1e-10,
+    maxiter: int = 1000,
+    precond: Callable | None = None,
+    deflate: bool = False,
+    deflate_weights: jnp.ndarray | None = None,
+):
+    """Preconditioned CG; returns (x, info) with info = (iters, resnorm)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else (lambda r: r)
+
+    def project(v):
+        return _deflate(v, deflate_weights) if deflate else v
+
+    b = project(b)
+    r0 = project(b - matvec(x0))
+    z0 = M(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    bnorm = jnp.linalg.norm(b)
+    atol2 = (tol * jnp.maximum(bnorm, 1e-30)) ** 2
+
+    def cond(state):
+        x, r, p, rz, k = state
+        return jnp.logical_and(k < maxiter, jnp.vdot(r, r) > atol2)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = project(matvec(p))
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (project(x) if deflate else x, r, p, rz_new, k + 1)
+
+    x, r, p, rz, k = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x, (k, jnp.linalg.norm(r))
+
+
+def cg_fixed(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    iters: int = 100,
+    precond: Callable | None = None,
+    deflate: bool = False,
+    deflate_weights: jnp.ndarray | None = None,
+):
+    """CG with a static iteration count (scan-friendly). Returns (x, resnorm)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else (lambda r: r)
+
+    def project(v):
+        return _deflate(v, deflate_weights) if deflate else v
+
+    b = project(b)
+    r0 = project(b - matvec(x0))
+    z0 = M(r0)
+    rz0 = jnp.vdot(r0, z0)
+
+    def body(state, _):
+        x, r, p, rz = state
+        Ap = project(matvec(p))
+        denom = jnp.vdot(p, Ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, r, _, _), _ = jax.lax.scan(body, (x0, r0, z0, rz0), None, length=iters)
+    return x, jnp.linalg.norm(r)
+
+
+def jacobi_pcg(matvec, diag, b, **kwargs):
+    """CG preconditioned with the operator diagonal."""
+    inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    return cg(matvec, b, precond=lambda r: inv_diag * r, **kwargs)

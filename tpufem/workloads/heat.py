@@ -1,0 +1,117 @@
+"""Implicit-Euler heat equation — parity workload for ``code/heatEq.py``.
+
+Reference quirks preserved exactly (SURVEY.md Appendix B):
+  * BC surgery (periodic elimination + Dirichlet rows) is applied to the
+    *stiffness* matrix first, and only then A = I + dt·K_modified
+    (heatEq.py:240-305) — so Dirichlet diagonals become 1+dt and periodic
+    slave rows (1+dt, −dt); the per-step field re-application
+    (u[slave]=u[master]; walls=1, inner=0) is what actually enforces BCs.
+  * The RHS source is deliberately zeroed: rhs = u + dt·b·0 (heatEq.py:322).
+
+TPU-first structure: the system is LU-factored once; the whole run is one
+``lax.scan`` whose body is two triangular solves + two fused scatters.
+The reference instead calls O(N³) ``np.linalg.solve`` on the same matrix
+600 times (heatEq.py:323).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem import bc
+from tpufem.mesh.core import Mesh
+from tpufem.ops import assembly
+from tpufem.solve import make_dense_solver
+from tpufem.workloads.poisson import PoissonConfig, build_system, default_source
+
+
+@dataclasses.dataclass
+class HeatConfig:
+    dt: float = 0.02  # heatEq.py:304
+    steps: int = 600  # heatEq.py:320
+    g_source: Callable | float = default_source
+    inner_marker: int = 2
+    outer_value: float = 1.0
+    inner_value: float = 0.0
+    L: float = 1.0
+    H: float = 1.0
+    tol: float = 1e-6
+    solver: str = "lu"
+
+
+@dataclasses.dataclass(frozen=True)
+class HeatProblem:
+    solver: object
+    boundary: bc.ChannelBoundary
+    dirichlet_values: jnp.ndarray
+    config: HeatConfig
+
+    @classmethod
+    def build(cls, mesh: Mesh, config: HeatConfig = HeatConfig()) -> "HeatProblem":
+        pcfg = PoissonConfig(
+            g_source=config.g_source,
+            inner_marker=config.inner_marker,
+            outer_value=config.outer_value,
+            inner_value=config.inner_value,
+            L=config.L,
+            H=config.H,
+            tol=config.tol,
+        )
+        K, _, boundary = build_system(mesh, pcfg)  # BC-applied stiffness
+        n = K.shape[0]
+        A = jnp.eye(n, dtype=K.dtype) + config.dt * K  # heatEq.py:305
+        values = np.full(len(boundary.dirichlet), config.outer_value)
+        inner_set = set(boundary.inner.tolist())
+        for i, node in enumerate(boundary.dirichlet):
+            if int(node) in inner_set:
+                values[i] = config.inner_value
+        return cls(
+            solver=make_dense_solver(A, config.solver),
+            boundary=boundary,
+            dirichlet_values=jnp.asarray(values),
+            config=config,
+        )
+
+
+def apply_field_bcs(problem: HeatProblem, u: jnp.ndarray) -> jnp.ndarray:
+    """Periodic copy then Dirichlet overwrite (heatEq.py:324-325 order)."""
+    b = problem.boundary
+    if len(b.masters):
+        u = bc.apply_periodic_field(u, b.masters, b.slaves)
+    return bc.apply_dirichlet_field(
+        u, b.dirichlet, problem.dirichlet_values.astype(u.dtype)
+    )
+
+
+def initial_state(problem: HeatProblem, n: int) -> jnp.ndarray:
+    u = jnp.zeros(n)
+    return apply_field_bcs(problem, u)
+
+
+def make_step(problem: HeatProblem):
+    def step(u, _):
+        u = problem.solver.solve(u)  # rhs = u + dt·b·0 = u (heatEq.py:322)
+        u = apply_field_bcs(problem, u)
+        return u, jnp.max(jnp.abs(u))
+
+    return step
+
+
+def run(mesh: Mesh, config: HeatConfig = HeatConfig(), steps: int | None = None):
+    """Run the full heat simulation; returns (u_final, per-step max|u|)."""
+    problem = HeatProblem.build(mesh, config)
+    u0 = initial_state(problem, mesh.n_nodes)
+    step = make_step(problem)
+    n_steps = steps if steps is not None else config.steps
+
+    @jax.jit
+    def scan_all(u0):
+        return jax.lax.scan(step, u0, None, length=n_steps)
+
+    u, maxu = scan_all(u0)
+    return u, maxu
