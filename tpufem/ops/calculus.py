@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpufem.mesh.core import Mesh
 from tpufem.ops.assembly import _f
@@ -87,6 +88,41 @@ def vorticity(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:
     duy_dx = jnp.einsum("ti,ti->t", u_loc[..., 1], grads[..., 0])
     dux_dy = jnp.einsum("ti,ti->t", u_loc[..., 0], grads[..., 1])
     return _lump(mesh, duy_dx - dux_dy)
+
+
+def divergence_matrices(mesh: Mesh):
+    """(Dx, Dy) host NumPy (N, N) matrices with div(u) = Dx uₓ + Dy u_y.
+
+    The lumped divergence is linear in u, so it can be materialized once
+    as two dense operators; on TPU the per-step evaluation then becomes
+    MXU matvecs instead of gather/segment-sum pipelines (the fast path
+    for the dense regime, N ≲ 4k).  Numerically identical (up to
+    summation order) to :func:`divergence`.
+    """
+    n, t = mesh.n_nodes, mesh.n_tris
+    w = np.where(mesh.valid, mesh.area / 3.0, 0.0)  # (T,)
+    area_sum = np.zeros(n)
+    np.add.at(area_sum, mesh.tris.reshape(-1), np.repeat(w, 3))
+    inv_area = 1.0 / (area_sum + _EPS_AREA)
+    Dx = np.zeros((n, n))
+    Dy = np.zeros((n, n))
+    rows = np.repeat(mesh.tris, 3, axis=1).reshape(-1)  # i (receiver)
+    cols = np.tile(mesh.tris, (1, 3)).reshape(-1)  # j (source dof)
+    gx = np.broadcast_to(mesh.grads[:, None, :, 0], (t, 3, 3)).reshape(-1)
+    gy = np.broadcast_to(mesh.grads[:, None, :, 1], (t, 3, 3)).reshape(-1)
+    w9 = np.broadcast_to(w[:, None, None], (t, 3, 3)).reshape(-1)
+    np.add.at(Dx, (rows, cols), w9 * gx)
+    np.add.at(Dy, (rows, cols), w9 * gy)
+    return inv_area[:, None] * Dx, inv_area[:, None] * Dy
+
+
+def gradient_matrices(mesh: Mesh):
+    """(Gx, Gy) host NumPy (N, N) with ∇p = (Gx p, Gy p) — the lumped
+    nodal gradient as dense operators (same construction as
+    :func:`divergence_matrices`; identical sparsity pattern to K)."""
+    return divergence_matrices(mesh)  # same weights: ∂x from grads[...,0],
+    # ∂y from grads[...,1] — div(u)=Dx ux+Dy uy and ∇p=(Dx p, Dy p) share
+    # the exact same per-dof coefficients.
 
 
 def consistent_divergence_rhs(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,266 @@
+"""Multi-chip SPMD execution: ensemble ("data") × operator ("space") sharding.
+
+The reference is strictly single-threaded (SURVEY.md §2, parallelism note);
+the TPU-native scaling axes for this workload are:
+
+* **data** — an *ensemble* of independent simulations (the reference's
+  actual scientific campaign: sweeping squirmer gaits B1/B2 across runs,
+  README.md:43-45).  Batched with ``vmap``, sharded across chips.
+* **space** — within one simulation, the dense solve operators are
+  row-block sharded (tensor-parallel matvec: each chip computes its row
+  block of A⁻¹ @ x, then ``all_gather`` along "space" reassembles the
+  field over ICI), and the element arrays of the divergence/gradient
+  pipelines are block-sharded with a ``psum`` reduction of the scattered
+  nodal sums — the PDE analog of TP + sequence-parallel sharding.
+
+Everything is expressed with ``shard_map`` over a ``jax.sharding.Mesh``
+so XLA inserts the collectives; no hand-written communication.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh, PartitionSpec as P
+from jax import shard_map
+
+from tpufem import bc, transport
+from tpufem.mesh.core import Mesh
+from tpufem.ops import assembly
+from tpufem.solve import DenseInverse
+from tpufem.workloads import stokes
+
+
+def build_device_mesh(n_devices: int | None = None, data: int | None = None):
+    """A ("data", "space") device mesh over the available devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    if data is None:
+        data = 2 if n % 2 == 0 and n > 1 else 1
+    space = n // data
+    return DeviceMesh(devices.reshape(data, space), ("data", "space"))
+
+
+def _pad_rows(A: np.ndarray, mult: int) -> np.ndarray:
+    """Pad a matrix with zero rows to a row-count divisible by ``mult``."""
+    n = A.shape[0]
+    pad = (-n) % mult
+    if pad:
+        A = np.concatenate([A, np.zeros((pad,) + A.shape[1:], dtype=A.dtype)], axis=0)
+    return A
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedEnsemble:
+    """A batch of squirmer simulations prepared for a (data, space) mesh.
+
+    The per-simulation physics is identical to
+    :func:`tpufem.workloads.stokes.projection_step`; what differs is the
+    execution layout: batched state, row-sharded inverse operators,
+    element-sharded div/grad.
+    """
+
+    problem: stokes.StokesProblem
+    device_mesh: DeviceMesh
+    inner_values: jnp.ndarray  # (B, k, 2) per-simulation squirmer values
+    visc_inv: jnp.ndarray  # (N_pad, N) row-shardable
+    pressure_inv: jnp.ndarray  # (N_pad, N)
+    n_pad: int
+
+    @classmethod
+    def build(
+        cls,
+        mesh: Mesh,
+        device_mesh: DeviceMesh,
+        b1s: np.ndarray,
+        b2s: np.ndarray,
+        config: stokes.StokesConfig | None = None,
+    ) -> "ShardedEnsemble":
+        config = config or stokes.StokesConfig(solver="inverse")
+        assert config.solver == "inverse", "sharded path requires matvec solvers"
+        problem = stokes.StokesProblem.build(mesh, config)
+        inner = problem.boundary.inner
+        vals = np.stack(
+            [
+                bc.squirmer_values(mesh.coords, inner, config.center, b1, b2)
+                for b1, b2 in zip(b1s, b2s)
+            ]
+        )
+        space = device_mesh.shape["space"]
+        visc_inv = _pad_rows(np.asarray(problem.visc_solver.inv), space)
+        pressure_inv = _pad_rows(np.asarray(problem.pressure_solver.inv), space)
+        return cls(
+            problem=problem,
+            device_mesh=device_mesh,
+            inner_values=jnp.asarray(vals),
+            visc_inv=jnp.asarray(visc_inv),
+            pressure_inv=jnp.asarray(pressure_inv),
+            n_pad=visc_inv.shape[0],
+        )
+
+    def initial_state(self) -> dict:
+        b = self.inner_values.shape[0]
+        n = self.problem.mesh.n_nodes
+        dtype = self.inner_values.dtype
+        u = jnp.zeros((b, n, 2), dtype=dtype)
+        problem = self.problem
+        u = jax.vmap(lambda uu, vv: _apply_bcs_batched(problem, uu, vv))(
+            u, self.inner_values
+        )
+        c = jnp.where(
+            jnp.asarray(self.problem.mesh.coords[:, 0]) < self.problem.config.dye_threshold,
+            1.0,
+            0.0,
+        ).astype(dtype)
+        return {"u": u, "c": jnp.tile(c[None], (b, 1))}
+
+
+def _apply_bcs_batched(problem, u, inner_vals):
+    b = problem.boundary
+    if len(b.masters):
+        u = bc.apply_periodic_field(u, b.masters, b.slaves)
+    u = u.at[jnp.asarray(b.walls)].set(0.0)
+    return u.at[jnp.asarray(b.inner)].set(inner_vals.astype(u.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Element-sharded divergence / gradient (psum-assembled)
+# ---------------------------------------------------------------------------
+
+
+def _shard_elements(mesh: Mesh, n_shards: int):
+    """Pad element arrays to a multiple of n_shards (pad entries invalid)."""
+    t = mesh.n_tris
+    pad = (-t) % n_shards
+    tris = np.concatenate([mesh.tris, np.zeros((pad, 3), np.int32)])
+    grads = np.concatenate([mesh.grads, np.zeros((pad, 3, 2))])
+    area = np.concatenate([mesh.area, np.zeros(pad)])
+    valid = np.concatenate([mesh.valid, np.zeros(pad, bool)])
+    return tris, grads, area, valid
+
+
+def _div_local(tris, grads, area, valid, u, n_nodes):
+    """Local partial sums of the lumped divergence (no normalization)."""
+    u_loc = u[:, tris]  # (B, Tl, 3, 2)
+    div_e = jnp.einsum("btic,tic->bt", u_loc, grads)
+    w = jnp.where(valid, area / 3.0, 0.0)
+    seg = tris.reshape(-1)
+    contrib = jnp.broadcast_to((div_e * w)[..., None], div_e.shape + (3,)).reshape(
+        div_e.shape[0], -1
+    )
+    num = jax.vmap(lambda v: jax.ops.segment_sum(v, seg, num_segments=n_nodes))(contrib)
+    den = jax.ops.segment_sum(
+        jnp.broadcast_to(w[:, None], (w.shape[0], 3)).reshape(-1), seg, num_segments=n_nodes
+    )
+    return num, den
+
+
+def _grad_local(tris, grads, area, valid, p, n_nodes):
+    p_loc = p[:, tris]  # (B, Tl, 3)
+    g_e = jnp.einsum("bti,tid->btd", p_loc, grads)  # (B, Tl, 2)
+    w = jnp.where(valid, area / 3.0, 0.0)
+    seg = tris.reshape(-1)
+    contrib = (g_e * w[None, :, None])[:, :, None, :] * jnp.ones((1, 1, 3, 1))
+    contrib = contrib.reshape(p.shape[0], -1, 2)
+    num = jax.vmap(
+        lambda v: jax.ops.segment_sum(v, seg, num_segments=n_nodes)
+    )(contrib)
+    den = jax.ops.segment_sum(
+        jnp.broadcast_to(w[:, None], (w.shape[0], 3)).reshape(-1), seg, num_segments=n_nodes
+    )
+    return num, den
+
+
+# ---------------------------------------------------------------------------
+# The sharded step
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_step(ensemble: ShardedEnsemble):
+    """Build the jitted (data, space)-sharded full step: viscous solve →
+    double pressure projection → BC re-application → dye advection.
+
+    Collectives: ``all_gather`` ("space") after each row-sharded matvec,
+    ``psum`` ("space") to assemble element-sharded div/grad sums.
+    """
+    problem = ensemble.problem
+    mesh = problem.mesh
+    cfg = problem.config
+    dmesh = ensemble.device_mesh
+    n = mesh.n_nodes
+    space = dmesh.shape["space"]
+    tris_sh, grads_sh, area_sh, valid_sh = _shard_elements(mesh, space)
+    interior = jnp.asarray(problem.boundary.interior)
+    cent = jnp.asarray(mesh.centroids())
+    dt = cfg.dt
+
+    def matvec(inv_rows, x):
+        """Row-sharded inverse application: (Nl, N) @ (B, N, ...) →
+        all_gather → (B, N_pad, ...)[:, :n]."""
+        part = jnp.einsum("rn,bn...->br...", inv_rows, x)
+        full = jax.lax.all_gather(part, "space", axis=1, tiled=True)
+        return full[:, :n]
+
+    def div(u):
+        num, den = _div_local(
+            jnp.asarray(tris_sh), jnp.asarray(grads_sh), jnp.asarray(area_sh),
+            jnp.asarray(valid_sh), u, n,
+        )
+        num = jax.lax.psum(num, "space")
+        den = jax.lax.psum(den, "space")
+        return num / (den + 1e-12)
+
+    def grad(p):
+        num, den = _grad_local(
+            jnp.asarray(tris_sh), jnp.asarray(grads_sh), jnp.asarray(area_sh),
+            jnp.asarray(valid_sh), p, n,
+        )
+        num = jax.lax.psum(num, "space")
+        den = jax.lax.psum(den, "space")
+        return num / (den[..., None] + 1e-12)
+
+    def apply_bcs(u, inner_vals):
+        return jax.vmap(lambda uu, vv: _apply_bcs_batched(problem, uu, vv))(u, inner_vals)
+
+    def advect(c, u):
+        return jax.vmap(
+            lambda ci, ui: transport.advect_semilagrange(
+                mesh, problem.locator, ci, ui, dt, L=cfg.L, H=cfg.H
+            )
+        )(c, u)
+
+    @partial(
+        shard_map,
+        mesh=dmesh,
+        in_specs=(
+            {"u": P("data"), "c": P("data")},
+            P("space", None),
+            P("space", None),
+            P("data"),
+        ),
+        out_specs=({"u": P("data"), "c": P("data")}, P("data")),
+        check_vma=False,
+    )
+    def step(state, visc_inv_rows, press_inv_rows, inner_vals):
+        u, c = state["u"], state["c"]
+        u_star = apply_bcs(matvec(visc_inv_rows, u), inner_vals)
+        p = matvec(press_inv_rows, -div(u_star) / dt)
+        u_new = apply_bcs(u_star - dt * grad(p), inner_vals)
+        p2 = matvec(press_inv_rows, -div(u_new) / dt)
+        g2 = grad(p2)
+        u_new = u_new.at[:, interior].add(-dt * g2[:, interior])
+        c_new = advect(c, u_new)
+        final_div = jnp.max(jnp.abs(div(u_new)), axis=1)  # (B_local,)
+        return {"u": u_new, "c": c_new}, final_div
+
+    @jax.jit
+    def jitted(state):
+        return step(state, ensemble.visc_inv, ensemble.pressure_inv, ensemble.inner_values)
+
+    return jitted

@@ -53,6 +53,13 @@ class HeatProblem:
 
     @classmethod
     def build(cls, mesh: Mesh, config: HeatConfig = HeatConfig()) -> "HeatProblem":
+        from tpufem.utils.host import host_context
+
+        with host_context():
+            return cls._build(mesh, config)
+
+    @classmethod
+    def _build(cls, mesh: Mesh, config: HeatConfig) -> "HeatProblem":
         pcfg = PoissonConfig(
             g_source=config.g_source,
             inner_marker=config.inner_marker,

@@ -43,7 +43,16 @@ class PoissonConfig:
 
 
 def build_system(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
-    """Assemble the BC-applied (A, b) system. Returns (A, b, boundary)."""
+    """Assemble the BC-applied (A, b) system. Returns (A, b, boundary).
+
+    Runs on the host backend (setup-time work; see utils.host)."""
+    from tpufem.utils.host import host_context
+
+    with host_context():
+        return _build_system(mesh, config)
+
+
+def _build_system(mesh: Mesh, config: PoissonConfig):
     ke = assembly.element_stiffness(mesh, signed=config.signed_det)
     A = assembly.assemble_dense(mesh, ke)
     b = assembly.load_vector(

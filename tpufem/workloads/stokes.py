@@ -59,6 +59,13 @@ class StokesConfig:
     tol: float = 1e-6
     # numerics
     solver: str = "lu"  # "lu" (parity) | "inverse" (fastest TPU path)
+    precision: str = "f64"  # "f64" (parity) | "f32" | "bf16" (device dtype;
+    # all factorizations happen on host in f64 regardless)
+    pressure_mode: str = "penalty"  # "penalty" (reference ±1e10, f64-only)
+    # | "merge" (exact DOF-merged periodic operator — required for f32/bf16
+    #   and iterative solves, SURVEY.md §7.3)
+    dense_ops: bool = True  # evaluate div/grad as precomputed (N,N) MXU
+    # matvecs instead of gather/segment-sum (fast for N ≲ 4k)
     double_projection: bool = True  # the second interior-only projection
     # transport
     transport: str = "none"  # "none" | "dye" | "tracers"
@@ -67,7 +74,13 @@ class StokesConfig:
     tracer_density: int = 25
     capture_radius: float = 0.28  # StokesFood.py:50-52
     tracer_method: str = "euler"
+    locator: str = "grid"  # "grid" (scalable O(P·C)) | "topk" (reference
+    # k-nearest-centroid semantics, O(P·T) — fine below ~10k triangles)
     locator_k: int = 10
+    locator_grid: int = 24
+
+
+_DTYPES = {"f64": jnp.float64, "f32": jnp.float32, "bf16": jnp.bfloat16}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,9 +94,47 @@ class StokesProblem:
     locator: Any
     tracer_init: np.ndarray | None
     config: StokesConfig
+    div_x: jnp.ndarray | None = None  # (N,N) dense div/grad operators
+    div_y: jnp.ndarray | None = None
+
+    @property
+    def dtype(self):
+        return _DTYPES[self.config.precision]
+
+    def div(self, u: jnp.ndarray) -> jnp.ndarray:
+        if self.div_x is not None:
+            return self.div_x @ u[:, 0] + self.div_y @ u[:, 1]
+        return calculus.divergence(self.mesh, u)
+
+    def grad(self, p: jnp.ndarray) -> jnp.ndarray:
+        if self.div_x is not None:
+            return jnp.stack([self.div_x @ p, self.div_y @ p], axis=1)
+        return calculus.gradient(self.mesh, p)
 
     @classmethod
     def build(cls, mesh: Mesh, config: StokesConfig = StokesConfig()) -> "StokesProblem":
+        from tpufem.utils.host import host_context
+
+        # setup math runs on host (each op would otherwise trigger its own
+        # slow remote TPU compilation); only final operators go on-device
+        with host_context():
+            return cls._build(mesh, config)
+
+    @classmethod
+    def _build(cls, mesh: Mesh, config: StokesConfig) -> "StokesProblem":
+        from tpufem.solve.dense import DenseInverse
+        from tpufem.solve.pressure import merged_pressure_apply_matrix
+
+        if config.precision != "f64":
+            assert config.pressure_mode == "merge", (
+                "the ±1e10 penalty pressure operator is numerically unusable "
+                "below f64 — use pressure_mode='merge' (exact periodic)"
+            )
+            assert config.dense_ops, (
+                "sub-f64 precision requires dense_ops=True (the segment-sum "
+                "calculus path promotes through the f64 geometry tensors)"
+            )
+        dtype = _DTYPES[config.precision]
         boundary = bc.ChannelBoundary.build(
             mesh, inner_marker=config.inner_marker, L=config.L, H=config.H, tol=config.tol
         )
@@ -95,10 +146,30 @@ class StokesProblem:
         A_visc = jnp.eye(n, dtype=K.dtype) + config.dt * config.nu * K
         A_visc = bc.dirichlet_rows_cols(A_visc, boundary.dirichlet)
 
-        # pressure system: K / M_L with ±1e10 periodic penalty
-        A_p = K / (m_lumped[:, None] + 1e-12)
-        if len(boundary.masters):
-            A_p = bc.periodic_penalty(A_p, boundary.masters, boundary.slaves)
+        # pressure system (reference form: (K / M_L) p = b + periodic)
+        if config.pressure_mode == "merge":
+            A_eff = merged_pressure_apply_matrix(
+                mesh, m_lumped, boundary.masters, boundary.slaves
+            )
+            pressure_solver = DenseInverse(inv=jnp.asarray(A_eff, dtype=dtype))
+        else:
+            A_p = K / (m_lumped[:, None] + 1e-12)
+            if len(boundary.masters):
+                A_p = bc.periodic_penalty(A_p, boundary.masters, boundary.slaves)
+            pressure_solver = make_dense_solver(A_p, config.solver)
+
+        if config.precision == "f64":
+            visc_solver = make_dense_solver(A_visc, config.solver)
+        else:
+            visc_solver = DenseInverse(
+                inv=jnp.asarray(np.linalg.inv(np.asarray(A_visc)), dtype=dtype)
+            )
+
+        div_x = div_y = None
+        if config.dense_ops:
+            dx, dy = calculus.divergence_matrices(mesh)
+            div_x = jnp.asarray(dx, dtype=dtype)
+            div_y = jnp.asarray(dy, dtype=dtype)
 
         if config.bc_kind == "squirmer":
             inner_values = bc.squirmer_values(
@@ -111,7 +182,10 @@ class StokesProblem:
         else:
             raise ValueError(f"unknown bc_kind: {config.bc_kind}")
 
-        locator = transport.TopKLocator(mesh, k=config.locator_k)
+        if config.locator == "topk":
+            locator = transport.TopKLocator(mesh, k=config.locator_k)
+        else:
+            locator = transport.GridLocator.build(mesh, g=config.locator_grid)
         tracer_init = None
         if config.transport == "tracers":
             tracer_init = transport.init_tracer_grid(
@@ -124,13 +198,15 @@ class StokesProblem:
         return cls(
             mesh=mesh,
             boundary=boundary,
-            visc_solver=make_dense_solver(A_visc, config.solver),
-            pressure_solver=make_dense_solver(A_p, config.solver),
+            visc_solver=visc_solver,
+            pressure_solver=pressure_solver,
             inner_values=inner_values,
-            m_lumped=m_lumped,
+            m_lumped=jnp.asarray(m_lumped, dtype=dtype),
             locator=locator,
             tracer_init=tracer_init,
             config=config,
+            div_x=div_x,
+            div_y=div_y,
         )
 
 
@@ -148,7 +224,7 @@ def apply_field_bcs(problem: StokesProblem, u: jnp.ndarray, scale=1.0) -> jnp.nd
 def initial_state(problem: StokesProblem) -> dict:
     cfg = problem.config
     n = problem.mesh.n_nodes
-    dtype = problem.m_lumped.dtype
+    dtype = problem.dtype
     u = apply_field_bcs(problem, jnp.zeros((n, 2), dtype=dtype))
     state = {"u": u, "step": jnp.asarray(0, dtype=jnp.int32)}
     if cfg.transport == "dye":
@@ -181,22 +257,22 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0):
     u_star = apply_field_bcs(problem, u_star, bc_scale)
 
     # 2. pressure correction
-    div_star = calculus.divergence(mesh, u_star)
+    div_star = problem.div(u_star)
     p = problem.pressure_solver.solve(-div_star / dt)
 
     # 3. velocity update
-    u_new = u_star - dt * calculus.gradient(mesh, p)
+    u_new = u_star - dt * problem.grad(p)
     u_new = apply_field_bcs(problem, u_new, bc_scale)
 
     # 4. second projection, interior only (StokesColor.py:566-573)
     if cfg.double_projection:
-        div_u = calculus.divergence(mesh, u_new)
+        div_u = problem.div(u_new)
         p2 = problem.pressure_solver.solve(-div_u / dt)
-        g2 = calculus.gradient(mesh, p2)
+        g2 = problem.grad(p2)
         interior = jnp.asarray(problem.boundary.interior)
         u_new = u_new.at[interior].add(-dt * g2[interior])
 
-    final_div = calculus.divergence(mesh, u_new)
+    final_div = problem.div(u_new)
     metrics = {
         "div_star_max": jnp.max(jnp.abs(div_star)),
         "final_div_max": jnp.max(jnp.abs(final_div)),
@@ -226,9 +302,9 @@ def make_step(problem: StokesProblem, var0=None):
             )
             I, mu, var = transport.mixing_index(c, problem.m_lumped, mask=interior_mask)
             new_state["c"] = c
-            metrics["mixing_progress"] = (
-                1.0 - var / (var0 + 1e-16) if var0 is not None else var
-            )
+            metrics["mixing_var"] = var
+            if var0 is not None:
+                metrics["mixing_progress"] = 1.0 - var / (var0 + 1e-16)
         elif cfg.transport == "tracers":
             pts = transport.tracer_step(
                 mesh, problem.locator, state["tracers"], u, cfg.dt,
@@ -245,17 +321,34 @@ def make_step(problem: StokesProblem, var0=None):
     return step
 
 
+_RUN_CACHE: dict[tuple[int, int], Any] = {}
+
+
 def run(problem: StokesProblem, steps: int | None = None, state: dict | None = None):
-    """Run the simulation as one jitted scan; returns (state, metrics)."""
+    """Run the simulation as one jitted scan; returns (state, metrics).
+
+    The compiled scan is cached per (problem, step count) so repeated runs
+    don't re-trace.  For dye runs, ``mixing_progress`` is derived from the
+    stacked variance series against the *initial* state's variance.
+    """
     cfg = problem.config
     if state is None:
         state = initial_state(problem)
-    var0 = dye_baseline(problem, state) if cfg.transport == "dye" else None
-    step = make_step(problem, var0=var0)
     n_steps = steps if steps is not None else cfg.steps
 
-    @jax.jit
-    def scan_all(state):
-        return jax.lax.scan(step, state, None, length=n_steps)
+    key = (id(problem), n_steps)
+    scan_all = _RUN_CACHE.get(key)
+    if scan_all is None:
+        step = make_step(problem)
 
-    return scan_all(state)
+        @jax.jit
+        def scan_all(state):
+            return jax.lax.scan(step, state, None, length=n_steps)
+
+        _RUN_CACHE[key] = scan_all
+
+    var0 = dye_baseline(problem, state) if cfg.transport == "dye" else None
+    out_state, metrics = scan_all(state)
+    if cfg.transport == "dye":
+        metrics["mixing_progress"] = 1.0 - metrics["mixing_var"] / (var0 + 1e-16)
+    return out_state, metrics
