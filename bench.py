@@ -55,6 +55,7 @@ def run_tpufem(mesh, steps=BENCH_STEPS):
         solver="inverse",
         precision="f32",
         pressure_mode="merge",
+        fused=True,  # whole-step composed matrix: one MXU matvec per step
     )
     problem = stokes.StokesProblem.build(mesh, config)
     n_tracers = problem.tracer_init.shape[0]

@@ -79,6 +79,43 @@ def test_f32_mode_tracks_f64(mesh1):
     assert abs(pg - pf) < 0.01 * max(1.0, abs(pg))
 
 
+def test_fused_step_matches_unfused(mesh1):
+    """The composed whole-step matrix is exact linear algebra: f64 fused
+    must match the staged merge-mode path to machine epsilon."""
+    base = stokes.StokesProblem.build(mesh1, stokes.StokesConfig(pressure_mode="merge"))
+    fused = stokes.StokesProblem.build(
+        mesh1, stokes.StokesConfig(pressure_mode="merge", fused=True)
+    )
+    s1, m1 = stokes.run(base, steps=20)
+    s2, m2 = stokes.run(fused, steps=20)
+    u1, u2 = np.asarray(s1["u"]), np.asarray(s2["u"])
+    assert np.linalg.norm(u1 - u2) / np.linalg.norm(u1) < 1e-12
+    np.testing.assert_allclose(
+        np.asarray(m1["div_star_max"]), np.asarray(m2["div_star_max"]), rtol=1e-10
+    )
+
+
+def test_fused_f32_food_capture_stats(mesh1):
+    """Task-level oracle: the f32 fused food-capture run reproduces the
+    f64 capture fraction within a few percent (trajectory-level f32
+    divergence is expected in a mixing flow; the statistic is robust)."""
+    mk = lambda **kw: stokes.StokesProblem.build(
+        mesh1,
+        stokes.StokesConfig(
+            dt=0.01, nu=1.0, transport="tracers", tracer_density=15,
+            pressure_mode="merge", solver="inverse", **kw,
+        ),
+    )
+    gold = mk()
+    fast = mk(precision="f32", fused=True)
+    _, mg = stokes.run(gold, steps=100)
+    _, mf = stokes.run(fast, steps=100)
+    n_tr = gold.tracer_init.shape[0]
+    frac_g = float(mg["eaten"][-1]) / n_tr
+    frac_f = float(mf["eaten"][-1]) / n_tr
+    assert abs(frac_g - frac_f) < 0.05, (frac_g, frac_f)
+
+
 def test_f32_requires_merge(mesh1):
     with pytest.raises(AssertionError):
         stokes.StokesProblem.build(

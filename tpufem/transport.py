@@ -89,17 +89,25 @@ class GridLocator:
     g: int
 
     @classmethod
-    def build(cls, mesh: Mesh, g: int = 16) -> "GridLocator":
+    def build(cls, mesh: Mesh, g: int = 16, exact: bool = True) -> "GridLocator":
+        """``exact=True`` prunes bbox candidates with a triangle-vs-cell
+        separating-axis test — roughly halves C_max on thin triangles."""
         lo = mesh.coords.min(axis=0)
         hi = mesh.coords.max(axis=0)
         extent = np.maximum(hi - lo, 1e-12)
         pc = mesh.coords[mesh.tris]  # (T,3,2)
         tmin = ((pc.min(axis=1) - lo) / extent * g).astype(int).clip(0, g - 1)
         tmax = ((pc.max(axis=1) - lo) / extent * g).astype(int).clip(0, g - 1)
+        cell_w = extent / g
         buckets: list[list[int]] = [[] for _ in range(g * g)]
         for t in range(mesh.n_tris):
+            tri = pc[t]
             for cx in range(tmin[t, 0], tmax[t, 0] + 1):
                 for cy in range(tmin[t, 1], tmax[t, 1] + 1):
+                    if exact:
+                        c0 = lo + np.array([cx, cy]) * cell_w
+                        if not _tri_aabb_overlap(tri, c0, c0 + cell_w):
+                            continue
                     buckets[cx * g + cy].append(t)
         cmax = max(1, max(len(b) for b in buckets))
         cells = np.full((g * g, cmax), -1, dtype=np.int32)
@@ -118,13 +126,37 @@ class GridLocator:
         return _first_containing(self.mesh, cand, points)
 
 
+def _tri_aabb_overlap(tri: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> bool:
+    """2D separating-axis test: triangle (3,2) vs axis-aligned box."""
+    box = np.array([[lo[0], lo[1]], [hi[0], lo[1]], [hi[0], hi[1]], [lo[0], hi[1]]])
+    # axes: x, y, and the 3 triangle edge normals
+    edges = tri[[1, 2, 0]] - tri
+    axes = np.concatenate([np.eye(2), np.stack([-edges[:, 1], edges[:, 0]], axis=1)])
+    for ax in axes:
+        t_proj = tri @ ax
+        b_proj = box @ ax
+        if t_proj.max() < b_proj.min() - 1e-15 or b_proj.max() < t_proj.min() - 1e-15:
+            return False
+    return True
+
+
+_TRI_XY_CACHE: dict[int, np.ndarray] = {}
+
+
+def _tri_xy_table(mesh: Mesh) -> np.ndarray:
+    """(T, 3, 2) corner coordinates, cached — one gather instead of the
+    tris[cand] → coords[...] double indirection in the hot locate path."""
+    key = id(mesh)
+    if key not in _TRI_XY_CACHE:
+        _TRI_XY_CACHE[key] = mesh.coords[mesh.tris]
+    return _TRI_XY_CACHE[key]
+
+
 def _first_containing(mesh: Mesh, cand: jnp.ndarray, points: jnp.ndarray):
     """Among per-point candidate triangle lists, pick the first containing
     triangle (w ≥ 0 on all corners, |det| ≥ 1e-14), like the reference."""
-    tris = jnp.asarray(mesh.tris)
-    coords = jnp.asarray(mesh.coords, dtype=points.dtype)
     safe_cand = jnp.maximum(cand, 0)
-    tri_xy = coords[tris[safe_cand]]  # (P, k, 3, 2)
+    tri_xy = jnp.asarray(_tri_xy_table(mesh), dtype=points.dtype)[safe_cand]  # (P,k,3,2)
     w, det = _barycentric(tri_xy, points[:, None, :])
     inside = jnp.all(w >= 0.0, axis=-1) & (jnp.abs(det) >= _DEG_TOL) & (cand >= 0)
     first = jnp.argmax(inside, axis=1)  # first True (or 0 if none)
@@ -148,7 +180,7 @@ def interpolate(mesh: Mesh, field: jnp.ndarray, points: jnp.ndarray, locator):
     """
     tri_ids, found = locator.find(points)
     corner = jnp.asarray(mesh.tris)[tri_ids]  # (P,3)
-    tri_xy = jnp.asarray(mesh.coords, dtype=points.dtype)[corner]
+    tri_xy = jnp.asarray(_tri_xy_table(mesh), dtype=points.dtype)[tri_ids]
     w, _ = _barycentric(tri_xy, points)
     vals = jnp.einsum("pi,pi...->p...", w, field[corner])
     mask = found if vals.ndim == 1 else found[:, None]
@@ -195,7 +227,7 @@ def advect_semilagrange(
 
     tri_ids, found = locator.find(pts)
     corner = jnp.asarray(mesh.tris)[tri_ids]  # (N,3)
-    pxy = coords[corner]  # (N,3,2)
+    pxy = jnp.asarray(_tri_xy_table(mesh), dtype=c.dtype)[tri_ids]  # (N,3,2)
     x1, y1 = pxy[:, 0, 0], pxy[:, 0, 1]
     x2, y2 = pxy[:, 1, 0], pxy[:, 1, 1]
     x3, y3 = pxy[:, 2, 0], pxy[:, 2, 1]

@@ -66,6 +66,11 @@ class StokesConfig:
     #   and iterative solves, SURVEY.md §7.3)
     dense_ops: bool = True  # evaluate div/grad as precomputed (N,N) MXU
     # matvecs instead of gather/segment-sum (fast for N ≲ 4k)
+    fused: bool = False  # compose the ENTIRE per-step velocity update
+    # (viscous solve → BCs → double projection) into one (2N,2N) matrix on
+    # the host; each step is then a single MXU matvec.  Exact linear-algebra
+    # composition of the same affine map — requires pressure_mode="merge",
+    # no BC ramp.  The fastest single-chip path.
     double_projection: bool = True  # the second interior-only projection
     # transport
     transport: str = "none"  # "none" | "dye" | "tracers"
@@ -77,7 +82,7 @@ class StokesConfig:
     locator: str = "grid"  # "grid" (scalable O(P·C)) | "topk" (reference
     # k-nearest-centroid semantics, O(P·T) — fine below ~10k triangles)
     locator_k: int = 10
-    locator_grid: int = 24
+    locator_grid: int = 0  # 0 = auto (~√T cells per side)
 
 
 _DTYPES = {"f64": jnp.float64, "f32": jnp.float32, "bf16": jnp.bfloat16}
@@ -96,6 +101,10 @@ class StokesProblem:
     config: StokesConfig
     div_x: jnp.ndarray | None = None  # (N,N) dense div/grad operators
     div_y: jnp.ndarray | None = None
+    fused_M: jnp.ndarray | None = None  # (2N,2N) whole-step matrix
+    fused_b: jnp.ndarray | None = None  # (2N,) whole-step offset
+    fused_Dstar: jnp.ndarray | None = None  # (N,2N) u → div(u*) map
+    fused_dstar0: jnp.ndarray | None = None  # (N,)
 
     @property
     def dtype(self):
@@ -166,10 +175,18 @@ class StokesProblem:
             )
 
         div_x = div_y = None
+        dx = dy = None
         if config.dense_ops:
             dx, dy = calculus.divergence_matrices(mesh)
             div_x = jnp.asarray(dx, dtype=dtype)
             div_y = jnp.asarray(dy, dtype=dtype)
+
+        fused_M = fused_b = fused_Dstar = fused_dstar0 = None
+        if config.fused:
+            assert config.pressure_mode == "merge" and config.ramp_steps == 0, (
+                "fused step requires pressure_mode='merge' and no BC ramp"
+            )
+            assert config.dense_ops and dx is not None
 
         if config.bc_kind == "squirmer":
             inner_values = bc.squirmer_values(
@@ -182,10 +199,22 @@ class StokesProblem:
         else:
             raise ValueError(f"unknown bc_kind: {config.bc_kind}")
 
+        if config.fused:
+            fused_M, fused_b, fused_Dstar, fused_dstar0 = _compose_fused_step(
+                mesh, boundary, inner_values, np.asarray(A_visc),
+                np.asarray(pressure_solver.inv, dtype=np.float64),
+                dx, dy, config,
+            )
+            fused_M = jnp.asarray(fused_M, dtype=dtype)
+            fused_b = jnp.asarray(fused_b, dtype=dtype)
+            fused_Dstar = jnp.asarray(fused_Dstar, dtype=dtype)
+            fused_dstar0 = jnp.asarray(fused_dstar0, dtype=dtype)
+
         if config.locator == "topk":
             locator = transport.TopKLocator(mesh, k=config.locator_k)
         else:
-            locator = transport.GridLocator.build(mesh, g=config.locator_grid)
+            g = config.locator_grid or int(np.clip(np.sqrt(mesh.n_tris), 8, 128))
+            locator = transport.GridLocator.build(mesh, g=g)
         tracer_init = None
         if config.transport == "tracers":
             tracer_init = transport.init_tracer_grid(
@@ -207,7 +236,77 @@ class StokesProblem:
             config=config,
             div_x=div_x,
             div_y=div_y,
+            fused_M=fused_M,
+            fused_b=fused_b,
+            fused_Dstar=fused_Dstar,
+            fused_dstar0=fused_dstar0,
         )
+
+
+def _compose_fused_step(mesh, boundary, inner_values, A_visc, A_eff, dx, dy, config):
+    """Compose the whole affine velocity update into (M, b, Dstar, dstar0).
+
+    Stacked layout u_flat = [uₓ; u_y] (2N).  Every stage of the reference's
+    step (StokesColor.py:537-573) is affine in u:
+
+      u*  = E₂ V₂ (u + Δt f) + q          viscous solve + BC overwrite
+      u₁  = E₂ (I + G A_eff D) u* + q     1st projection + BC overwrite
+      u₂  = (I + S₂ G A_eff D) u₁         2nd projection (interior only)
+
+    with V the viscous inverse, E the BC row-surgery (periodic copy, wall
+    zero, inner overwrite — offset q carries the squirmer values), D/G the
+    lumped div/grad operators, A_eff the merged-pressure solve matrix and
+    S₂ the interior selector.  The composed M = T₂ E₂ T₁ E₂V₂ is exact
+    linear algebra — the per-step result is bit-comparable to the unfused
+    merge-mode path up to f.p. associativity.
+    """
+    n = mesh.n_nodes
+    dt = config.dt
+    V = np.linalg.inv(A_visc.astype(np.float64))
+
+    # BC row surgery E and offset q (sequential, replicating makePerBCU /
+    # makeDirBCU order — StokesColor.py:546-547)
+    E = np.eye(n)
+    for m_, s_ in zip(boundary.masters, boundary.slaves):
+        E[s_, :] = E[m_, :]
+    E[boundary.walls, :] = 0.0
+    E[boundary.inner, :] = 0.0
+    qx = np.zeros(n)
+    qy = np.zeros(n)
+    qx[boundary.inner] = inner_values[:, 0]
+    qy[boundary.inner] = inner_values[:, 1]
+
+    def blockdiag(A):
+        z = np.zeros_like(A)
+        return np.block([[A, z], [z, A]])
+
+    V2 = blockdiag(V)
+    E2 = blockdiag(E)
+    q = np.concatenate([qx, qy])
+    D = np.concatenate([dx, dy], axis=1)  # (N, 2N)
+    G = np.concatenate([dx, dy], axis=0)  # (2N, N) — same coefficients
+    GAD = G @ (A_eff @ D)  # (2N, 2N)
+
+    f = np.concatenate(
+        [np.full(n, config.body_force[0]), np.full(n, config.body_force[1])]
+    )
+    M1 = E2 @ V2
+    c1 = M1 @ (dt * f) + q  # u* = M1 u + c1
+    T1 = np.eye(2 * n) + GAD
+    # u1 = E2 T1 u* + q
+    M2 = E2 @ T1
+    if config.double_projection:
+        s_mask = np.zeros(n)
+        s_mask[boundary.interior] = 1.0
+        S2 = np.concatenate([s_mask, s_mask])[:, None]
+        T2 = np.eye(2 * n) + S2 * GAD
+    else:
+        T2 = np.eye(2 * n)
+    M = T2 @ (M2 @ M1)
+    b = T2 @ (M2 @ c1 + q)
+    Dstar = D @ M1  # div(u*) = Dstar u + dstar0
+    dstar0 = D @ c1
+    return M, b, Dstar, dstar0
 
 
 def apply_field_bcs(problem: StokesProblem, u: jnp.ndarray, scale=1.0) -> jnp.ndarray:
@@ -249,6 +348,21 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0):
     cfg = problem.config
     mesh = problem.mesh
     dt = cfg.dt
+
+    if problem.fused_M is not None:
+        n = mesh.n_nodes
+        u_flat = jnp.concatenate([u[:, 0], u[:, 1]])
+        div_star = problem.fused_Dstar @ u_flat + problem.fused_dstar0
+        new_flat = problem.fused_M @ u_flat + problem.fused_b
+        u_new = jnp.stack([new_flat[:n], new_flat[n:]], axis=1)
+        final_div = problem.div(u_new)
+        metrics = {
+            "div_star_max": jnp.max(jnp.abs(div_star)),
+            "final_div_max": jnp.max(jnp.abs(final_div)),
+            "max_u": jnp.max(jnp.abs(u_new)),
+        }
+        return u_new, None, metrics
+
     f = jnp.asarray(cfg.body_force, dtype=u.dtype)
 
     # 1. tentative velocity — one batched solve for both components
