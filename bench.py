@@ -61,15 +61,17 @@ def run_tpufem(mesh, steps=BENCH_STEPS):
     n_tracers = problem.tracer_init.shape[0]
 
     # warm-up with the SAME step count (lax.scan length is baked into the
-    # compiled program — a different length would recompile inside the timer)
+    # compiled program — a different length would recompile inside the
+    # timer).  Synchronization via device→host copy: block_until_ready is
+    # unreliable on the tunneled TPU platform.
     state, _ = stokes.run(problem, steps=steps)
-    jax.block_until_ready(state["u"])
+    np.asarray(state["u"])
 
     t0 = time.perf_counter()
     state, metrics = stokes.run(problem, steps=steps)
-    jax.block_until_ready(state["u"])
+    u_host = np.asarray(state["u"])
     elapsed = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(state["u"])).all(), "bench run diverged"
+    assert np.isfinite(u_host).all(), "bench run diverged"
     return steps / elapsed, n_tracers, metrics
 
 
