@@ -119,6 +119,62 @@ def gradient(coords, tris, p_scalar):
     return gx / (w + 1e-12), gy / (w + 1e-12)
 
 
+def build_consistent_mass(coords, tris):
+    n = coords.shape[0]
+    M = np.zeros((n, n))
+    for t in tris:
+        (x1, y1), (x2, y2), (x3, y3) = coords[t]
+        det = x1 * (y2 - y3) + x2 * (y3 - y1) + x3 * (y1 - y2)
+        if abs(det) < 1e-14:
+            continue
+        area = 0.5 * abs(det)
+        for i in range(3):
+            for j in range(3):
+                M[t[i], t[j]] += (area / 12.0) * (2.0 if i == j else 1.0)
+    return M
+
+
+def build_convection(coords, tris, u, variant="stokescolor"):
+    """Element-centroid convection matrix; both reference scalings
+    (StokesColor 1/(2|det|) form vs op-split signed-det form)."""
+    n = coords.shape[0]
+    C = np.zeros((n, n))
+    for t in tris:
+        (x1, y1), (x2, y2), (x3, y3) = coords[t]
+        det = x1 * (y2 - y3) + x2 * (y3 - y1) + x3 * (y1 - y2)
+        if abs(det) < 1e-14:
+            continue
+        u_c = u[t].mean(axis=0)
+        yd = np.array([y2 - y3, y3 - y1, y1 - y2])
+        xd = np.array([x3 - x2, x1 - x3, x2 - x1])
+        if variant == "stokescolor":
+            grads = np.stack([yd, xd], axis=1) / (2 * abs(det))
+            row = 0.5 * abs(det) / 3.0
+        else:  # opsplit
+            grads = np.stack([yd, xd], axis=1) / det
+            row = 0.5 * det / 3.0
+        for i in range(3):
+            for j in range(3):
+                C[t[i], t[j]] += row * (u_c @ grads[j])
+    return C
+
+
+def eulerian_dye_step(coords, tris, markers, pairs, m_lumped, M, K, c, u, dt, D):
+    """Implicit Eulerian dye step (visualize_stokes_flow.py:1344-1366)."""
+    C = build_convection(coords, tris, u, "stokescolor")
+    div_u = divergence(coords, tris, u)
+    g = dt * (m_lumped * div_u)
+    for m, s in pairs:
+        g[s] = g[m]
+    A_c = M + dt * (C + D * K) + np.diag(g)
+    A_c = periodic_penalty(A_c, pairs)
+    c_new = np.linalg.solve(A_c, M @ c)
+    np.clip(c_new, 0.0, 1.0, out=c_new)
+    for m, s in pairs:
+        c_new[s] = c_new[m]
+    return c_new
+
+
 # ---------------------------------------------------------------------------
 # Boundary conditions
 # ---------------------------------------------------------------------------
@@ -216,6 +272,61 @@ def heat_run(coords, tris, markers, steps=600, dt=0.02, **kw):
         u = np.linalg.solve(A, u)  # same matrix re-solved, like heatEq.py:323
         u = apply_bcs(u)
     return u
+
+
+# ---------------------------------------------------------------------------
+# Monolithic saddle-point Stokes (scripts/navier_stokes.py oracle)
+# ---------------------------------------------------------------------------
+
+
+def monolithic_stokes_system(coords, tris, markers, nu=1.0, U0=1.0,
+                             outer_marker=1, inner_marker=2):
+    n = coords.shape[0]
+    total = 3 * n
+    A = np.zeros((total, total))
+    for t in tris:
+        (x1, y1), (x2, y2), (x3, y3) = coords[t]
+        det = x1 * (y2 - y3) + x2 * (y3 - y1) + x3 * (y1 - y2)
+        if det == 0:
+            continue
+        yd = (y2 - y3, y3 - y1, y1 - y2)
+        xd = (x3 - x2, x1 - x3, x2 - x1)
+        for i in range(3):
+            for j in range(3):
+                visc = nu * (yd[i] * yd[j] + xd[i] * xd[j]) / (2.0 * det)
+                A[t[i], t[j]] += visc
+                A[n + t[i], n + t[j]] += visc
+    for t in tris:
+        (x1, y1), (x2, y2), (x3, y3) = coords[t]
+        yd = (y2 - y3, y3 - y1, y1 - y2)
+        xd = (x3 - x2, x1 - x3, x2 - x1)
+        for i in range(3):
+            for j in range(3):
+                bx = -yd[j] / 6.0
+                by = -xd[j] / 6.0
+                A[2 * n + t[i], t[j]] += bx
+                A[2 * n + t[i], n + t[j]] += by
+                A[t[j], 2 * n + t[i]] += bx
+                A[n + t[j], 2 * n + t[i]] += by
+    b = np.zeros(total)
+    for i in np.nonzero(markers == outer_marker)[0]:
+        for dof in (i, n + i):
+            A[dof, :] = 0.0
+            A[dof, dof] = 1.0
+            b[dof] = 0.0
+    for i in np.nonzero(markers == inner_marker)[0]:
+        px, py = coords[i]
+        r = np.sqrt(px * px + py * py)
+        if r == 0:
+            r = 1.0
+        for dof, val in ((i, -U0 * py / r), (n + i, U0 * px / r)):
+            A[dof, :] = 0.0
+            A[dof, dof] = 1.0
+            b[dof] = val
+    A[2 * n, :] = 0.0
+    A[2 * n, 2 * n] = 1.0
+    b[2 * n] = 0.0
+    return A, b
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,97 @@
+"""Monolithic saddle-point Stokes and operator-split NS tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baselines import numpy_ref
+from tpufem.ops import calculus
+from tpufem.workloads import navier_stokes as ns
+
+
+def test_monolithic_assembly_matches_oracle(mesh1):
+    """The 3N×3N assembly is structurally identical to the reference's.
+    (The P1/P1 system itself is LBB-rank-deficient — see MonolithicConfig —
+    so parity is checked at the assembly level plus min-norm solutions.)"""
+    A, b = ns.assemble_monolithic(mesh1)
+    A_ref, b_ref = numpy_ref.monolithic_stokes_system(
+        mesh1.coords, mesh1.tris, mesh1.markers
+    )
+    np.testing.assert_allclose(A, A_ref, atol=1e-10)
+    np.testing.assert_allclose(b, b_ref, atol=1e-12)
+
+
+def test_monolithic_solution_is_finite_and_divergence_free(mesh1):
+    u, p, residual = ns.solve_monolithic(mesh1)
+    assert np.isfinite(np.asarray(u)).all() and np.isfinite(np.asarray(p)).all()
+    assert float(residual) < 1e-6  # the compatible part is solved exactly
+
+
+def test_monolithic_bcs(mesh1):
+    u, p, _ = ns.solve_monolithic(mesh1)
+    u = np.asarray(u)
+    cfg = ns.MonolithicConfig()
+    outer = mesh1.markers == cfg.outer_marker
+    np.testing.assert_allclose(u[outer], 0.0, atol=1e-12)
+    assert abs(float(p[0])) < 1e-12  # pinned
+    # inner boundary: |u| = U0 (unit tangential, origin-normalized quirk)
+    inner = mesh1.markers == cfg.inner_marker
+    np.testing.assert_allclose(np.linalg.norm(u[inner], axis=1), cfg.U0, rtol=1e-9)
+
+
+def test_monolithic_divergence_small(mesh1):
+    """The coupled solve enforces the discrete incompressibility directly —
+    interior divergence should be far below the BC velocity scale."""
+    u, _, _ = ns.solve_monolithic(mesh1)
+    div = np.asarray(calculus.divergence(mesh1, u))
+    interior = mesh1.markers == 0
+    assert np.abs(div[interior]).mean() < 0.5
+
+
+def test_ns_projection_channel_flow(mesh1):
+    """Driven channel (body force 0.1 in x): flow develops in +x, stays
+    finite, no-slip on all walls (operator_spitting_ns.py config)."""
+    problem = ns.NSProblem.build(mesh1, ns.NSConfig(dt=1e-4, steps=50))
+    u, metrics = ns.run(problem)
+    u = np.asarray(u)
+    assert np.isfinite(u).all()
+    interior = mesh1.markers == 0
+    assert u[interior, 0].mean() > 0.0  # net +x flow
+    np.testing.assert_allclose(u[problem.wall_mask], 0.0, atol=1e-12)
+    assert np.isfinite(np.asarray(metrics["max_p"])).all()
+
+
+def test_ns_long_run_is_stable(mesh21):
+    """The mass-lumped pressure scaling keeps the NS projection stable for
+    the full reference run length (the committed raw-K scaling does not —
+    see NSConfig.pressure_scaling)."""
+    problem = ns.NSProblem.build(mesh21, ns.NSConfig())
+    u, metrics = ns.run(problem, steps=500)
+    mu = np.asarray(metrics["max_u"])
+    assert np.isfinite(mu).all()
+    assert mu[-1] < 1.0  # bounded channel flow
+
+
+def test_ns_raw_pressure_scaling_reproduces_reference_instability(mesh21):
+    """The committed script's unlumped pressure operator blows up within
+    tens of steps — preserved as a documented reference quirk."""
+    problem = ns.NSProblem.build(
+        mesh21, ns.NSConfig(pressure_scaling="raw")
+    )
+    u, metrics = ns.run(problem, steps=100)
+    mu = np.asarray(metrics["max_u"])
+    assert (~np.isfinite(mu)).any() or mu.max() > 1e6
+
+
+def test_stokes_unknown_transport_rejected(mesh1):
+    from tpufem.workloads import stokes
+
+    with pytest.raises(ValueError, match="unknown transport"):
+        stokes.StokesProblem.build(mesh1, stokes.StokesConfig(transport="nonsense"))
+
+
+def test_ns_f32_runs(mesh1):
+    problem = ns.NSProblem.build(mesh1, ns.NSConfig(dt=1e-4, precision="f32"))
+    u, metrics = ns.run(problem, steps=20)
+    assert u.dtype == jnp.float32
+    assert np.isfinite(np.asarray(u)).all()

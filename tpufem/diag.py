@@ -123,9 +123,9 @@ def laplacian_vs_divgrad_test(mesh: Mesh, sigma: float = 0.1):
     g = calculus.gradient(mesh, p)
     lap_composed = -calculus.divergence(mesh, g)
     interior = np.asarray(mesh.markers) == 0
-    a = np.asarray(lap_fem)[interior]
-    b = np.asarray(lap_composed)[interior]
-    return float(np.corrcoef(a, -b)[0, 1])
+    a = np.asarray(lap_fem)[interior]  # K p / M_L ≈ −∇²p
+    b = np.asarray(lap_composed)[interior]  # −div(grad p) ≈ −∇²p
+    return float(np.corrcoef(a, b)[0, 1])
 
 
 def checkerboard_response(mesh: Mesh):

@@ -64,26 +64,43 @@ def element_mass(mesh: Mesh) -> jnp.ndarray:
     return jnp.where(_f(mesh, mesh.valid)[:, None, None] != 0, me, 0.0)
 
 
-def element_convection(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:
+def element_convection(mesh: Mesh, u: jnp.ndarray, variant: str = "stokescolor") -> jnp.ndarray:
     """(T, 3, 3) convection element matrices C(u).
 
-    C^e_ij = (area/3) · (ū · ∇φ_j) with ū the element-centroid velocity —
-    the scheme of ``/root/reference/code/StokesColor.py:286-312`` and
-    ``scripts/operator_spitting_ns.py:382-430``.  Row index i is uniform
-    (test-function lumping).
+    C^e_ij = (area/3) · (ū · ∇φ_j) with ū the element-centroid velocity.
+    Row index i is uniform (test-function lumping).  The reference carries
+    two inconsistent scalings of this scheme across its iterations:
+
+    * ``variant="stokescolor"`` — ∇φ = diffs/(2|det|), area unsigned
+      (``code/StokesColor.py:286-312``, also visualize_stokes_flow's dye)
+    * ``variant="opsplit"`` — ∇φ = diffs/det, area *signed* — exactly 2×
+      the former on CCW meshes (``scripts/operator_spitting_ns.py:382-430``)
+
+    Dtype follows ``u`` (the per-step assembly runs in the state precision).
     """
-    grads = _f(mesh, mesh.grads)
-    area = _f(mesh, mesh.area)
-    det = _f(mesh, mesh.det)
+    dtype = u.dtype
+    grads = jnp.asarray(mesh.grads, dtype=dtype)
+    area = jnp.asarray(mesh.area, dtype=dtype)
+    det = jnp.asarray(mesh.det, dtype=dtype)
     u_c = u[mesh.tris].mean(axis=1)  # (T,2)
-    # stored grads = diffs/det (signed); the convection scheme wants
-    # diffs/(2|det|) = grads · det/(2|det|) = grads · sign(det)/2
-    scale = det / (2.0 * jnp.abs(det))
+    # stored grads = diffs/det (signed)
+    if variant == "stokescolor":
+        # wants diffs/(2|det|) = grads · sign(det)/2, unsigned area
+        scale = det / (2.0 * jnp.abs(det))
+        row = (area / 3.0) * jnp.ones_like(det)
+    elif variant == "opsplit":
+        # wants diffs/det (= grads), signed area 0.5·det
+        scale = jnp.ones_like(det)
+        row = 0.5 * det / 3.0
+    else:
+        raise ValueError(f"unknown convection variant: {variant}")
     udotg = jnp.einsum("td,tjd->tj", u_c, grads * scale[:, None, None])  # (T,3)
-    ce = (area / 3.0)[:, None, None] * jnp.broadcast_to(
+    ce = row[:, None, None] * jnp.broadcast_to(
         udotg[:, None, :], (mesh.n_tris, 3, 3)
     )
-    return jnp.where(_f(mesh, mesh.valid)[:, None, None] != 0, ce, 0.0)
+    return jnp.where(
+        jnp.asarray(mesh.valid, dtype=dtype)[:, None, None] != 0, ce, 0.0
+    )
 
 
 # ---------------------------------------------------------------------------

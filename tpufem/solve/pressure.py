@@ -24,6 +24,26 @@ from tpufem.mesh.core import Mesh
 from tpufem.ops import assembly
 
 
+def merge_map(n: int, masters: np.ndarray, slaves: np.ndarray) -> np.ndarray:
+    """(N, n_act) periodic DOF-merge matrix M_g with x_full = M_g x_act.
+
+    Slave dofs share their master's column; non-injective pairings resolve
+    like the reference's sequential elimination (last pair wins).
+    """
+    owner = np.arange(n)
+    for m, s in zip(np.asarray(masters), np.asarray(slaves)):
+        owner[s] = m
+    for _ in range(4):  # resolve chains
+        owner = owner[owner]
+    active = np.nonzero(owner == np.arange(n))[0]
+    col_of = -np.ones(n, dtype=np.int64)
+    col_of[active] = np.arange(len(active))
+    col = col_of[owner]
+    mg = np.zeros((n, len(active)))
+    mg[np.arange(n), col] = 1.0
+    return mg
+
+
 def merged_pressure_apply_matrix(
     mesh: Mesh,
     m_lumped: np.ndarray,
@@ -40,21 +60,7 @@ def merged_pressure_apply_matrix(
     K = np.asarray(assembly.assemble_dense(mesh, assembly.element_stiffness(mesh)))
     m_lumped = np.asarray(m_lumped)
 
-    # slave → master map (last pair wins, like the sequential reference)
-    owner = np.arange(n)
-    for m, s in zip(np.asarray(masters), np.asarray(slaves)):
-        owner[s] = m
-    # resolve chains (slave whose master is itself a slave)
-    for _ in range(4):
-        owner = owner[owner]
-    active = np.nonzero(owner == np.arange(n))[0]
-    col_of = -np.ones(n, dtype=np.int64)
-    col_of[active] = np.arange(len(active))
-    col = col_of[owner]  # every node's merged column
-
-    mg = np.zeros((n, len(active)))
-    mg[np.arange(n), col] = 1.0  # p_full = M_g p_act
-
+    mg = merge_map(n, masters, slaves)  # p_full = M_g p_act
     a_p = K / (m_lumped[:, None] + 1e-12)  # reference row scaling
     a_act = mg.T @ a_p @ mg
     return mg @ np.linalg.pinv(a_act) @ mg.T

@@ -1,0 +1,257 @@
+"""Navier–Stokes workloads: monolithic saddle-point Stokes and
+operator-split NS with implicit advection.
+
+* :func:`solve_monolithic` — the 3N×3N coupled [u_x; u_y; p] one-shot
+  steady Stokes solve of ``scripts/navier_stokes.py:260-452``: viscous
+  blocks on the velocity diagonals, symmetric B/Bᵀ pressure coupling
+  (−y_diffs/6, −x_diffs/6), no-slip outer walls, tangential inner-boundary
+  velocity U0·(−y/r, x/r) *measured from the origin* (a reference quirk,
+  navier_stokes.py:415-419 — the cylinder sits at (0.5,0.5) but the BC
+  normalizes by distance from (0,0); preserved for parity), pressure
+  pinned at node 0.
+
+* :class:`NSProblem` — the projection Navier–Stokes of
+  ``scripts/operator_spitting_ns.py:550-604``: the advection matrix C(u)
+  is rebuilt from the current velocity every step and the velocity system
+  (I + Δt·C + ν·Δt·K) is solved fresh each step (no Dirichlet surgery on
+  the in-loop matrix — the reference's BC block is commented out; BCs are
+  enforced on the field after projection), pressure Poisson is the
+  signed-det stiffness pinned at node 0 (row-only).
+
+TPU notes: the per-step matrix changes with u, so it cannot be factored
+ahead of time; the step re-assembles C(u) as one fused scatter and calls
+``jnp.linalg.solve`` on device (f32 LU is TPU-native; f64 parity runs on
+CPU).  The one-shot monolithic solve is factored on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.mesh.core import Mesh
+from tpufem.ops import assembly, calculus
+from tpufem.solve import make_dense_solver
+
+
+# ---------------------------------------------------------------------------
+# Monolithic saddle-point Stokes
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MonolithicConfig:
+    nu: float = 1.0
+    U0: float = 1.0  # squirmer swimming speed (navier_stokes.py:367)
+    outer_marker: int = 1
+    inner_marker: int = 2
+    # "lstsq" (default): min-norm least-squares.  The P1/P1 equal-order
+    # saddle-point system is NOT LBB-stable — it is rank-deficient by a few
+    # checkerboard pressure modes even on a clean mesh, and the reference's
+    # own committed configuration (mesh2.2 read with the P1 reader,
+    # orphaning all midside nodes) is outright singular, so its
+    # ``jnp.linalg.solve`` returns non-finite values.  lstsq projects the
+    # null modes out and returns the physical solution.
+    solver: str = "lstsq"
+
+
+def assemble_monolithic(mesh: Mesh, config: MonolithicConfig = MonolithicConfig()):
+    """(A, b) of the 3N×3N coupled system with BCs applied (host NumPy)."""
+    n = mesh.n_nodes
+    total = 3 * n
+    A = np.zeros((total, total))
+
+    tris = mesh.tris
+    det = mesh.det
+    valid = det != 0.0  # reference skips exact zero only (navier_stokes.py:299)
+    pc = mesh.coords[tris]
+    x, y = pc[..., 0], pc[..., 1]
+    yd = np.stack([y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], axis=1)
+    xd = np.stack([x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], axis=1)
+
+    # viscous blocks: ν (yd_i yd_j + xd_i xd_j) / (2·det_signed)
+    safe = np.where(valid, det, 1.0)
+    ke = (
+        config.nu
+        * (yd[:, :, None] * yd[:, None, :] + xd[:, :, None] * xd[:, None, :])
+        / (2.0 * safe[:, None, None])
+    )
+    ke = np.where(valid[:, None, None], ke, 0.0)
+    rows = np.repeat(tris, 3, axis=1).reshape(-1)
+    cols = np.tile(tris, (1, 3)).reshape(-1)
+    np.add.at(A, (rows, cols), ke.reshape(-1))
+    np.add.at(A, (rows + n, cols + n), ke.reshape(-1))
+
+    # pressure coupling: B[p_i, u_j] += −diff_j/6 for every i (3× per elem)
+    bx = np.broadcast_to((-yd / 6.0)[:, None, :], ke.shape).reshape(-1)
+    by = np.broadcast_to((-xd / 6.0)[:, None, :], ke.shape).reshape(-1)
+    p_rows = rows + 2 * n
+    np.add.at(A, (p_rows, cols), bx)
+    np.add.at(A, (p_rows, cols + n), by)
+    np.add.at(A, (cols, p_rows), bx)
+    np.add.at(A, (cols + n, p_rows), by)
+
+    b = np.zeros(total)
+    outer = np.nonzero(mesh.markers == config.outer_marker)[0]
+    inner = np.nonzero(mesh.markers == config.inner_marker)[0]
+
+    for idx in outer:
+        for dof in (idx, idx + n):
+            A[dof, :] = 0.0
+            A[dof, dof] = 1.0
+            b[dof] = 0.0
+    coords = mesh.coords
+    for idx in inner:
+        px, py = coords[idx]
+        r = np.hypot(px, py) or 1.0  # origin-normalized (reference quirk)
+        for dof, val in ((idx, -config.U0 * py / r), (idx + n, config.U0 * px / r)):
+            A[dof, :] = 0.0
+            A[dof, dof] = 1.0
+            b[dof] = val
+    # pin p at node 0 (navier_stokes.py:425-428)
+    A[2 * n, :] = 0.0
+    A[2 * n, 2 * n] = 1.0
+    b[2 * n] = 0.0
+    return A, b
+
+
+def solve_monolithic(mesh: Mesh, config: MonolithicConfig = MonolithicConfig()):
+    """One-shot coupled solve → (u (N,2), p (N,), residual)."""
+    A, b = assemble_monolithic(mesh, config)
+    if config.solver == "lstsq":
+        sol = jnp.asarray(np.linalg.lstsq(A, b, rcond=None)[0])
+    else:
+        solver = make_dense_solver(jnp.asarray(A), config.solver)
+        sol = solver.solve(jnp.asarray(b))
+    n = mesh.n_nodes
+    u = jnp.stack([sol[:n], sol[n : 2 * n]], axis=1)
+    p = sol[2 * n :]
+    residual = jnp.linalg.norm(jnp.asarray(A) @ sol - jnp.asarray(b))
+    return u, p, residual
+
+
+# ---------------------------------------------------------------------------
+# Operator-split Navier–Stokes (implicit advection)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class NSConfig:
+    dt: float = 1e-4  # operator_spitting_ns.py:479
+    steps: int = 1000
+    nu: float = 1.0
+    rho: float = 1.0
+    body_force: tuple[float, float] = (0.1, 0.0)  # channel driving force
+    inner_marker: int = 2
+    L: float = 1.0
+    H: float = 1.0
+    tol: float = 1e-6
+    precision: str = "f64"
+    # Pressure operator scaling.  The committed script solves K p = −div/Δt
+    # with the *unlumped* stiffness (operator_spitting_ns.py:528-533) — a
+    # ~1/M_L ≈ 10³ overcorrection that blows up within ~10 steps on the
+    # bundled meshes (the reference's later iterations introduced the
+    # mass-lumped A_p = K/M_L as the fix, IT_FUCKING_FLOWS.py:694-702).
+    # "mass_lumped" (default) is the working scheme; "raw" reproduces the
+    # committed script exactly.
+    pressure_scaling: str = "mass_lumped"
+
+
+@dataclasses.dataclass(frozen=True)
+class NSProblem:
+    mesh: Mesh
+    k_signed: jnp.ndarray  # signed-det stiffness (buildFemSystem form)
+    pressure_solver: Any  # K pinned at node 0, constant → factored once
+    wall_mask: np.ndarray  # all outer walls + inner body (u = 0)
+    config: NSConfig
+
+    @classmethod
+    def build(cls, mesh: Mesh, config: NSConfig = NSConfig()) -> "NSProblem":
+        from tpufem.utils.host import host_context
+
+        with host_context():
+            k = assembly.assemble_dense(mesh, assembly.element_stiffness(mesh, signed=True))
+            a_p = np.asarray(k).copy()
+            if config.pressure_scaling == "mass_lumped":
+                m_l = np.asarray(assembly.lumped_mass(mesh))
+                a_p = a_p / (m_l[:, None] + 1e-12)
+            a_p[0, :] = 0.0  # row-only pin (operator_spitting_ns.py:531-533)
+            a_p[0, 0] = 1.0
+            dtype = jnp.float32 if config.precision == "f32" else jnp.float64
+            coords = mesh.coords
+            on_outer = (
+                (np.abs(coords[:, 0]) < config.tol)
+                | (np.abs(coords[:, 0] - config.L) < config.tol)
+                | (np.abs(coords[:, 1]) < config.tol)
+                | (np.abs(coords[:, 1] - config.H) < config.tol)
+            )
+            wall_mask = on_outer | (mesh.markers == config.inner_marker)
+            from tpufem.solve.dense import DenseInverse
+
+            pressure_solver = (
+                make_dense_solver(jnp.asarray(a_p), "lu")
+                if config.precision == "f64"
+                else DenseInverse(inv=jnp.asarray(np.linalg.inv(a_p), dtype=dtype))
+            )
+            return cls(
+                mesh=mesh,
+                k_signed=jnp.asarray(np.asarray(k), dtype=dtype),
+                pressure_solver=pressure_solver,
+                wall_mask=wall_mask,
+                config=config,
+            )
+
+
+def ns_step(problem: NSProblem, u: jnp.ndarray):
+    """One operator-split NS step (operator_spitting_ns.py:557-604)."""
+    cfg = problem.config
+    mesh = problem.mesh
+    dt = cfg.dt
+    n = mesh.n_nodes
+    dtype = u.dtype
+
+    c_adv = assembly.assemble_dense(
+        mesh, assembly.element_convection(mesh, u, variant="opsplit")
+    )
+    a_new = jnp.eye(n, dtype=dtype) + dt * c_adv + cfg.nu * dt * problem.k_signed
+    rhs = u + dt * jnp.asarray(cfg.body_force, dtype=dtype)
+    u_star = jnp.linalg.solve(a_new, rhs)  # both components in one call
+
+    div = calculus.divergence(mesh, u_star).astype(dtype)
+    b_p = -(cfg.rho / dt) * div
+    b_p = b_p.at[0].set(0.0)
+    p = problem.pressure_solver.solve(b_p)
+    u_new = u_star - dt * calculus.gradient(mesh, p).astype(dtype)
+    u_new = jnp.where(jnp.asarray(problem.wall_mask)[:, None], 0.0, u_new)
+    metrics = {
+        "max_u": jnp.max(jnp.abs(u_new)),
+        "max_p": jnp.max(jnp.abs(p)),
+        "div_star_max": jnp.max(jnp.abs(div)),
+    }
+    return u_new, metrics
+
+
+_RUN_CACHE: dict[tuple[int, int], Any] = {}
+
+
+def run(problem: NSProblem, steps: int | None = None):
+    """Scan the NS stepper; returns (u, metrics)."""
+    cfg = problem.config
+    n_steps = steps if steps is not None else cfg.steps
+    dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
+    u0 = jnp.zeros((problem.mesh.n_nodes, 2), dtype=dtype)
+
+    key = (id(problem), n_steps)
+    scan_all = _RUN_CACHE.get(key)
+    if scan_all is None:
+
+        @jax.jit
+        def scan_all(u0):
+            return jax.lax.scan(lambda u, _: ns_step(problem, u), u0, None, length=n_steps)
+
+        _RUN_CACHE[key] = scan_all
+    return scan_all(u0)

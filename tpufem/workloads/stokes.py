@@ -72,8 +72,20 @@ class StokesConfig:
     # composition of the same affine map — requires pressure_mode="merge",
     # no BC ramp.  The fastest single-chip path.
     double_projection: bool = True  # the second interior-only projection
+    # step variant:
+    #   "color"  — code/StokesColor.py / StokesFood.py: BCs re-applied as
+    #              field overwrites after each stage, double projection
+    #   "report" — scripts/stokes_clean_for_report.py:488-550: BC values
+    #              written into the viscous RHS ("corrected method",
+    #              validated by the reference's Test H), pinned + de-meaned
+    #              pressure, optional high-frequency pressure smoothing,
+    #              single projection
+    variant: str = "color"
+    pressure_smoothing: float = 0.0  # α of the (I+αK) smoothing solve
+    # (clean_for_report:516-529); 0 = off
     # transport
-    transport: str = "none"  # "none" | "dye" | "tracers"
+    transport: str = "none"  # "none" | "dye" | "tracers" | "eulerian_dye"
+    # | "dye_griddata"
     D: float = 1e-3  # dye diffusivity (used by the Eulerian option)
     dye_threshold: float = 0.5  # initial dye: c=1 where x < threshold
     tracer_density: int = 25
@@ -105,6 +117,11 @@ class StokesProblem:
     fused_b: jnp.ndarray | None = None  # (2N,) whole-step offset
     fused_Dstar: jnp.ndarray | None = None  # (N,2N) u → div(u*) map
     fused_dstar0: jnp.ndarray | None = None  # (N,)
+    smooth_solver: Any = None  # (I+αK) pinned pressure-smoothing solve
+    pressure_pin: int = -1  # pinned pressure node ("report" variant)
+    eul_M: jnp.ndarray | None = None  # consistent mass (Eulerian dye)
+    eul_K: jnp.ndarray | None = None  # stiffness (Eulerian/griddata dye)
+    eul_Mg: jnp.ndarray | None = None  # periodic merge map (f32 dye path)
 
     @property
     def dtype(self):
@@ -134,6 +151,11 @@ class StokesProblem:
         from tpufem.solve.dense import DenseInverse
         from tpufem.solve.pressure import merged_pressure_apply_matrix
 
+        valid_transports = ("none", "dye", "tracers", "eulerian_dye", "dye_griddata")
+        if config.transport not in valid_transports:
+            raise ValueError(
+                f"unknown transport {config.transport!r}; expected one of {valid_transports}"
+            )
         if config.precision != "f64":
             assert config.pressure_mode == "merge", (
                 "the ±1e10 penalty pressure operator is numerically unusable "
@@ -156,6 +178,18 @@ class StokesProblem:
         A_visc = bc.dirichlet_rows_cols(A_visc, boundary.dirichlet)
 
         # pressure system (reference form: (K / M_L) p = b + periodic)
+        pressure_pin = -1
+        smooth_solver = None
+        if config.variant == "report":
+            assert (
+                config.pressure_mode == "penalty"
+                and config.precision == "f64"
+                and not config.fused
+            ), "the 'report' variant implements the reference's pinned f64 path"
+            # first interior node pins the pressure gauge
+            # (clean_for_report.py:404,427-429)
+            pressure_pin = int(np.nonzero(mesh.markers == 0)[0][0])
+
         if config.pressure_mode == "merge":
             A_eff = merged_pressure_apply_matrix(
                 mesh, m_lumped, boundary.masters, boundary.slaves
@@ -165,7 +199,31 @@ class StokesProblem:
             A_p = K / (m_lumped[:, None] + 1e-12)
             if len(boundary.masters):
                 A_p = bc.periodic_penalty(A_p, boundary.masters, boundary.slaves)
+            if pressure_pin >= 0:
+                A_p = bc.dirichlet_rows_cols(A_p, np.asarray([pressure_pin]))
             pressure_solver = make_dense_solver(A_p, config.solver)
+
+        if config.pressure_smoothing > 0:
+            S = jnp.eye(n, dtype=K.dtype) + config.pressure_smoothing * K
+            if pressure_pin >= 0:
+                S = bc.dirichlet_rows_cols(S, np.asarray([pressure_pin]))
+            smooth_solver = make_dense_solver(S, config.solver)
+
+        eul_M = eul_K = eul_Mg = None
+        if config.transport in ("eulerian_dye", "dye_griddata"):
+            eul_K = jnp.asarray(np.asarray(K), dtype=dtype)
+            if config.transport == "eulerian_dye":
+                eul_M = jnp.asarray(
+                    np.asarray(assembly.assemble_dense(mesh, assembly.element_mass(mesh))),
+                    dtype=dtype,
+                )
+                if config.precision != "f64":
+                    from tpufem.solve.pressure import merge_map
+
+                    eul_Mg = jnp.asarray(
+                        merge_map(mesh.n_nodes, boundary.masters, boundary.slaves),
+                        dtype=dtype,
+                    )
 
         if config.precision == "f64":
             visc_solver = make_dense_solver(A_visc, config.solver)
@@ -240,6 +298,11 @@ class StokesProblem:
             fused_b=fused_b,
             fused_Dstar=fused_Dstar,
             fused_dstar0=fused_dstar0,
+            smooth_solver=smooth_solver,
+            pressure_pin=pressure_pin,
+            eul_M=eul_M,
+            eul_K=eul_K,
+            eul_Mg=eul_Mg,
         )
 
 
@@ -320,13 +383,16 @@ def apply_field_bcs(problem: StokesProblem, u: jnp.ndarray, scale=1.0) -> jnp.nd
     return u.at[jnp.asarray(b.inner)].set(vals)
 
 
+_DYE_TRANSPORTS = ("dye", "eulerian_dye", "dye_griddata")
+
+
 def initial_state(problem: StokesProblem) -> dict:
     cfg = problem.config
     n = problem.mesh.n_nodes
     dtype = problem.dtype
     u = apply_field_bcs(problem, jnp.zeros((n, 2), dtype=dtype))
     state = {"u": u, "step": jnp.asarray(0, dtype=jnp.int32)}
-    if cfg.transport == "dye":
+    if cfg.transport in _DYE_TRANSPORTS:
         # half-domain dye (StokesColor.py:493-495)
         c = jnp.where(jnp.asarray(problem.mesh.coords[:, 0]) < cfg.dye_threshold, 1.0, 0.0)
         state["c"] = c.astype(dtype)
@@ -343,11 +409,58 @@ def dye_baseline(problem: StokesProblem, state: dict):
     return var0
 
 
+def _report_projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale):
+    """The 'report' step (scripts/stokes_clean_for_report.py:480-550):
+    BC values written into the viscous RHS, stabilized pinned pressure
+    solve with optional (I+αK) smoothing, single projection, final-field
+    BC re-application in walls → periodic → inner order."""
+    cfg = problem.config
+    b = problem.boundary
+    dt = cfg.dt
+    f = jnp.asarray(cfg.body_force, dtype=u.dtype)
+    vals = jnp.asarray(problem.inner_values, dtype=u.dtype) * bc_scale
+    walls = jnp.asarray(b.walls)
+    inner = jnp.asarray(b.inner)
+
+    rhs = u + dt * f
+    rhs = rhs.at[walls].set(0.0)
+    rhs = rhs.at[inner].set(vals)
+    u_star = problem.visc_solver.solve(rhs)
+    if len(b.masters):
+        u_star = bc.apply_periodic_field(u_star, b.masters, b.slaves)
+
+    div_star = problem.div(u_star)
+    b_p = -div_star / dt
+    b_p = b_p - jnp.mean(b_p)
+    b_p = b_p.at[problem.pressure_pin].set(0.0)
+    p = problem.pressure_solver.solve(b_p)
+    if problem.smooth_solver is not None:
+        p = p.at[problem.pressure_pin].set(0.0)
+        p = problem.smooth_solver.solve(p)
+        p = p - jnp.mean(p)
+
+    u_new = u_star - dt * problem.grad(p)
+    final_div = problem.div(u_new)  # measured before the BC re-application
+    u_new = u_new.at[walls].set(0.0)
+    if len(b.masters):
+        u_new = bc.apply_periodic_field(u_new, b.masters, b.slaves)
+    u_new = u_new.at[inner].set(vals)
+    metrics = {
+        "div_star_max": jnp.max(jnp.abs(div_star)),
+        "final_div_max": jnp.max(jnp.abs(final_div)),
+        "max_u": jnp.max(jnp.abs(u_new)),
+    }
+    return u_new, p, metrics
+
+
 def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0):
     """The double-projection Stokes update; returns (u, p, metrics)."""
     cfg = problem.config
     mesh = problem.mesh
     dt = cfg.dt
+
+    if cfg.variant == "report":
+        return _report_projection_step(problem, u, bc_scale)
 
     if problem.fused_M is not None:
         n = mesh.n_nodes
@@ -395,6 +508,60 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0):
     return u_new, p, metrics
 
 
+def eulerian_dye_step(problem: StokesProblem, c: jnp.ndarray, u: jnp.ndarray):
+    """Implicit Eulerian advection–diffusion of dye
+    (scripts/visualize_stokes_flow.py:1344-1366):
+
+      A_c = M + Δt (C(u) + D K) + diag(Δt M_L (∇·u))   [slave diag copied]
+      A_c c' = M c,  then clip to [0,1] and copy master → slave.
+
+    The matrix depends on u, so it is re-assembled and solved *on device*
+    every step (dense LU via ``jnp.linalg.solve`` — supported in f32 on
+    TPU; the f64 parity path runs on CPU).  Periodicity: ±1e10 penalty in
+    f64 (reference), exact DOF-merge in f32 (penalty is f32-hostile).
+    """
+    cfg = problem.config
+    b = problem.boundary
+    dt = cfg.dt
+    C = assembly.assemble_dense(mesh=problem.mesh, elem=assembly.element_convection(problem.mesh, u))
+    divu = problem.div(u)
+    g = dt * (problem.m_lumped * divu)
+    if len(b.masters):
+        g = g.at[jnp.asarray(b.slaves)].set(g[jnp.asarray(b.masters)])
+    A_c = problem.eul_M + dt * (C + cfg.D * problem.eul_K) + jnp.diag(g)
+    rhs = problem.eul_M @ c
+    if problem.eul_Mg is None:
+        if len(b.masters):
+            A_c = bc.periodic_penalty(A_c, b.masters, b.slaves)
+        c_new = jnp.linalg.solve(A_c, rhs)
+    else:
+        mg = problem.eul_Mg
+        c_new = mg @ jnp.linalg.solve(mg.T @ A_c @ mg, mg.T @ rhs)
+    c_new = jnp.clip(c_new, 0.0, 1.0)
+    if len(b.masters):
+        c_new = bc.apply_periodic_field(c_new, b.masters, b.slaves)
+    return c_new
+
+
+def griddata_dye_step(problem: StokesProblem, c: jnp.ndarray, u: jnp.ndarray):
+    """Semi-Lagrangian dye via departure-point interpolation + explicit
+    diffusion (scripts/good_visualization2.py:685-717): linear interp at
+    x − uΔt with 0 outside the mesh, then c += Δt·D·(K c), clipped.
+
+    Deviation noted: the reference's ``scipy.interpolate.griddata``
+    triangulates the convex hull of the node cloud (interpolating *across*
+    the cylinder hole); we interpolate on the actual mesh, which is the
+    intended behavior.
+    """
+    cfg = problem.config
+    coords = jnp.asarray(problem.mesh.coords, dtype=c.dtype)
+    dep = coords - cfg.dt * u
+    vals, _ = transport.interpolate(problem.mesh, c, dep, problem.locator)
+    if cfg.D > 0:
+        vals = jnp.clip(vals + cfg.dt * cfg.D * (problem.eul_K @ vals), 0.0, 1.0)
+    return vals
+
+
 def make_step(problem: StokesProblem, var0=None):
     """Pure scan body: state → (state, metrics)."""
     cfg = problem.config
@@ -402,18 +569,27 @@ def make_step(problem: StokesProblem, var0=None):
     interior_mask = jnp.asarray(problem.mesh.markers == 0)
 
     def step(state, _):
-        ramp = (
-            jnp.minimum(state["step"].astype(problem.m_lumped.dtype) / cfg.ramp_steps, 1.0)
-            if cfg.ramp_steps > 0
-            else 1.0
-        )
+        if cfg.ramp_steps > 0:
+            # reference ramp is (step+1)/ramp in the report script
+            # (clean_for_report.py:492-495)
+            num = state["step"] + (1 if cfg.variant == "report" else 0)
+            ramp = jnp.minimum(
+                num.astype(problem.m_lumped.dtype) / cfg.ramp_steps, 1.0
+            )
+        else:
+            ramp = 1.0
         u, p, metrics = projection_step(problem, state["u"], bc_scale=ramp)
         new_state = {"u": u, "step": state["step"] + 1}
 
-        if cfg.transport == "dye":
-            c = transport.advect_semilagrange(
-                mesh, problem.locator, state["c"], u, cfg.dt, L=cfg.L, H=cfg.H
-            )
+        if cfg.transport in _DYE_TRANSPORTS:
+            if cfg.transport == "dye":
+                c = transport.advect_semilagrange(
+                    mesh, problem.locator, state["c"], u, cfg.dt, L=cfg.L, H=cfg.H
+                )
+            elif cfg.transport == "eulerian_dye":
+                c = eulerian_dye_step(problem, state["c"], u)
+            else:
+                c = griddata_dye_step(problem, state["c"], u)
             I, mu, var = transport.mixing_index(c, problem.m_lumped, mask=interior_mask)
             new_state["c"] = c
             metrics["mixing_var"] = var
@@ -461,8 +637,8 @@ def run(problem: StokesProblem, steps: int | None = None, state: dict | None = N
 
         _RUN_CACHE[key] = scan_all
 
-    var0 = dye_baseline(problem, state) if cfg.transport == "dye" else None
+    var0 = dye_baseline(problem, state) if cfg.transport in _DYE_TRANSPORTS else None
     out_state, metrics = scan_all(state)
-    if cfg.transport == "dye":
+    if cfg.transport in _DYE_TRANSPORTS:
         metrics["mixing_progress"] = 1.0 - metrics["mixing_var"] / (var0 + 1e-16)
     return out_state, metrics
