@@ -1,0 +1,194 @@
+"""Command-line entry points: one subcommand per reference workload.
+
+The reference's "config system" is hand-edited module constants duplicated
+per script (SURVEY.md §5); here every workload is a dataclass config
+driven from one CLI::
+
+    python -m tpufem poisson --mesh mesh2.1 --out out/
+    python -m tpufem heat    --mesh mesh2.1 --steps 600
+    python -m tpufem stokes  --mesh mesh.1 --transport dye --b2 5 --steps 1000
+    python -m tpufem food    --mesh mesh_fine.1 --steps 1000 --precision f32
+    python -m tpufem report  --mesh mesh5.1 --steps 500
+    python -m tpufem ns      --mesh mesh2.1 --steps 1000
+    python -m tpufem monolithic --mesh mesh.1
+    python -m tpufem stam    --frames 400
+    python -m tpufem ad      --mesh mesh2.1
+    python -m tpufem graph   --mesh mesh.1
+    python -m tpufem bench
+
+``--mesh`` accepts a bundled reference mesh stem (resolved via
+TPUFEM_REFERENCE_DIR), a path stem to Triangle files, or ``generated``.
+Outputs: metrics JSONL, final-state checkpoint, and a PNG per run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _resolve_mesh(spec: str):
+    import tpufem
+    from tpufem import config as cfg
+
+    if spec == "generated":
+        return tpufem.generate_annulus_mesh()
+    stem = cfg.reference_mesh_path(spec)
+    if stem is None and os.path.exists(spec + ".node"):
+        stem = spec
+    if stem is None:
+        raise SystemExit(f"mesh {spec!r} not found (bundled name, path stem, or 'generated')")
+    return tpufem.load_mesh(stem)
+
+
+def _common(sub, mesh_default="mesh.1"):
+    sub.add_argument("--mesh", default=mesh_default)
+    sub.add_argument("--out", default=None, help="output directory")
+    sub.add_argument("--steps", type=int, default=None)
+
+
+def _finish(args, name, state_or_field, metrics=None, mesh=None, field=None):
+    out = args.out
+    if metrics is not None:
+        from tpufem.metrics import summarize
+
+        print(json.dumps({name: summarize(metrics)}, indent=None, default=float))
+    if out:
+        os.makedirs(out, exist_ok=True)
+        if metrics is not None:
+            from tpufem.metrics import write_jsonl
+
+            write_jsonl(os.path.join(out, f"{name}_metrics.jsonl"), metrics)
+        if isinstance(state_or_field, dict):
+            from tpufem.checkpoint import save_state
+
+            save_state(os.path.join(out, f"{name}_state.npz"), state_or_field)
+        if mesh is not None and field is not None:
+            from tpufem import viz
+
+            ax = viz.plot_scalar(mesh, field)
+            ax.figure.savefig(os.path.join(out, f"{name}.png"), dpi=120)
+        print(f"outputs written to {out}/")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="tpufem")
+    parser.add_argument("--f64", action="store_true", default=True,
+                        help="enable float64 (default)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("poisson", "heat", "stokes", "food", "report", "ns",
+                 "monolithic", "ad", "graph"):
+        s = sub.add_parser(name)
+        _common(s)
+        if name in ("stokes", "food"):
+            s.add_argument("--b1", type=float, default=-2.0)
+            s.add_argument("--b2", type=float, default=0.0)
+            s.add_argument("--precision", default="f64", choices=["f64", "f32"])
+            s.add_argument("--transport", default=None)
+    s = sub.add_parser("stam")
+    s.add_argument("--frames", type=int, default=400)
+    s.add_argument("--size", type=int, default=200)
+    s.add_argument("--out", default=None)
+    sub.add_parser("bench")
+
+    args = parser.parse_args(argv)
+    import tpufem
+
+    tpufem.enable_x64()
+
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return
+
+    if args.cmd == "stam":
+        from tpufem.workloads import stam_grid
+
+        cfg = stam_grid.StamConfig(size=args.size)
+        state, max_speed = stam_grid.run(cfg, frames=args.frames)
+        print(json.dumps({"stam": {"frames": args.frames,
+                                   "final_max_speed": float(np.asarray(max_speed)[-1])}}))
+        if args.out:
+            os.makedirs(args.out, exist_ok=True)
+            np.save(os.path.join(args.out, "stam_density.npy"), np.asarray(state["density"]))
+        return
+
+    mesh = _resolve_mesh(args.mesh)
+
+    if args.cmd == "poisson":
+        from tpufem.workloads import poisson
+
+        f, res = poisson.solve(mesh)
+        print(json.dumps({"poisson": {"residual": float(res)}}))
+        _finish(args, "poisson", None, mesh=mesh, field=np.asarray(f))
+    elif args.cmd == "heat":
+        from tpufem.workloads import heat
+
+        steps = args.steps or 600
+        u, maxu = heat.run(mesh, heat.HeatConfig(steps=steps))
+        _finish(args, "heat", None, metrics={"max_u": maxu}, mesh=mesh,
+                field=np.asarray(u))
+    elif args.cmd in ("stokes", "food", "report"):
+        from tpufem.workloads import stokes
+
+        if args.cmd == "stokes":
+            cfg = stokes.StokesConfig(
+                B1=args.b1, B2=args.b2, precision=args.precision,
+                transport=args.transport or "dye",
+                pressure_mode="merge" if args.precision != "f64" else "penalty",
+                solver="inverse" if args.precision != "f64" else "lu",
+            )
+        elif args.cmd == "food":
+            cfg = stokes.StokesConfig(
+                dt=0.01, nu=1.0, B1=args.b1, B2=args.b2, transport="tracers",
+                precision=args.precision,
+                pressure_mode="merge" if args.precision != "f64" else "penalty",
+                solver="inverse" if args.precision != "f64" else "lu",
+            )
+        else:
+            cfg = stokes.StokesConfig(
+                variant="report", bc_kind="rotating", dt=1e-5, ramp_steps=200,
+                pressure_smoothing=0.01, double_projection=False,
+            )
+        problem = stokes.StokesProblem.build(mesh, cfg)
+        steps = args.steps or 1000
+        state, metrics = stokes.run(problem, steps=steps)
+        field = np.asarray(state.get("c", np.linalg.norm(np.asarray(state["u"]), axis=1)))
+        _finish(args, args.cmd, state, metrics=metrics, mesh=mesh, field=field)
+    elif args.cmd == "ns":
+        from tpufem.workloads import navier_stokes as ns
+
+        problem = ns.NSProblem.build(mesh, ns.NSConfig())
+        u, metrics = ns.run(problem, steps=args.steps or 1000)
+        _finish(args, "ns", None, metrics=metrics, mesh=mesh,
+                field=np.linalg.norm(np.asarray(u), axis=1))
+    elif args.cmd == "monolithic":
+        from tpufem.workloads import navier_stokes as ns
+
+        u, p, res = ns.solve_monolithic(mesh)
+        print(json.dumps({"monolithic": {"residual": float(res),
+                                         "max_u": float(np.abs(np.asarray(u)).max())}}))
+        _finish(args, "monolithic", None, mesh=mesh, field=np.asarray(p))
+    elif args.cmd == "ad":
+        from tpufem.workloads import advection_diffusion as ad
+
+        problem = ad.ADProblem.build(mesh, ad.ADConfig(steps=args.steps or 1000))
+        f, maxf = ad.run(problem)
+        _finish(args, "ad", None, metrics={"max_f": maxf}, mesh=mesh,
+                field=np.asarray(f))
+    elif args.cmd == "graph":
+        from tpufem.workloads import graph_average
+
+        f, res = graph_average.solve(mesh)
+        print(json.dumps({"graph": {"residual": float(res)}}))
+        _finish(args, "graph", None, mesh=mesh, field=np.asarray(f))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,3 +153,47 @@ def blowup_guard(u: jnp.ndarray, max_mag: float = 1e3) -> jnp.ndarray:
     """True if the field is finite and bounded — the functional analog of the
     reference's printed Max-U / Final-Div blow-up watching (SURVEY.md §5)."""
     return jnp.isfinite(u).all() & (jnp.max(jnp.abs(u)) < max_mag)
+
+
+def run_guarded(
+    problem,
+    total_steps: int,
+    chunk: int = 100,
+    max_mag: float = 1e3,
+    max_div: float | None = None,
+    state: dict | None = None,
+):
+    """Failure-detecting driver: run in chunks, abort on blow-up.
+
+    The automated replacement for the reference's human watching printed
+    ``Final Div(u)`` for explosions (SURVEY.md §5, failure detection).
+    Aborts *before* accepting a chunk whose end state is non-finite,
+    unbounded, or (optionally) whose divergence exceeds ``max_div`` —
+    returning the last good state.
+
+    Returns (state, report) with report = {status, completed_steps, reason}.
+    """
+    from tpufem.workloads import stokes
+
+    if state is None:
+        state = stokes.initial_state(problem)
+    done = 0
+    while done < total_steps:
+        c = min(chunk, total_steps - done)
+        new_state, metrics = stokes.run(problem, steps=c, state=state)
+        reason = None
+        if not bool(blowup_guard(new_state["u"], max_mag)):
+            reason = f"velocity non-finite or |u| ≥ {max_mag}"
+        elif max_div is not None:
+            worst = float(np.asarray(metrics["final_div_max"]).max())
+            if not np.isfinite(worst) or worst > max_div:
+                reason = f"divergence {worst:.3e} > {max_div:.3e}"
+        if reason is not None:
+            return state, {
+                "status": "aborted",
+                "completed_steps": done,
+                "reason": reason,
+            }
+        state = new_state
+        done += c
+    return state, {"status": "ok", "completed_steps": done, "reason": None}

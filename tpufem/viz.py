@@ -1,0 +1,190 @@
+"""Host-side rendering from device snapshot arrays.
+
+The reference interleaves matplotlib artist updates with the solver loop
+(``code/StokesColor.py:500-534,588-598``, 3-panel dashboards in
+``scripts/stokes_clean_for_report.py:552-605``, offline mp4 export in
+``scripts/good_visualization2.py:735-744``, mesh viewer
+``showerScript.py``).  Here rendering is fully decoupled: the jitted
+simulation emits snapshot arrays (via :func:`run_with_frames`), and these
+functions consume them on the host — the device never waits on a canvas.
+
+All figures are produced on the Agg backend (headless-safe); ``show=True``
+switches to interactive display when available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import matplotlib.tri as mtri
+
+from tpufem.mesh.core import Mesh
+
+
+def _triangulation(mesh: Mesh) -> mtri.Triangulation:
+    return mtri.Triangulation(mesh.coords[:, 0], mesh.coords[:, 1], mesh.tris)
+
+
+def plot_mesh(mesh: Mesh, ax=None):
+    """Wireframe mesh viewer (showerScript.py equivalent)."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    ax.triplot(_triangulation(mesh), lw=0.4, color="k")
+    ax.set_aspect("equal")
+    return ax
+
+
+def plot_scalar(mesh: Mesh, values, ax=None, cmap="viridis", vmin=None, vmax=None,
+                label=None, shading="gouraud"):
+    """Nodal scalar field as tripcolor (poisson.py:290-296 style)."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    tpc = ax.tripcolor(
+        _triangulation(mesh), np.asarray(values), shading=shading, cmap=cmap,
+        vmin=vmin, vmax=vmax,
+    )
+    ax.figure.colorbar(tpc, ax=ax, label=label)
+    ax.set_aspect("equal")
+    return ax
+
+
+def plot_velocity(mesh: Mesh, u, ax=None, skip=3, scale=10.0, background=None,
+                  normalize=True, cmap="plasma", vmin=None, vmax=None):
+    """Quiver (+ optional scalar background) — StokesColor.py:514-533 style
+    (unit-normalized arrows by default, like its ``unit_vectors``)."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    u = np.asarray(u)
+    if background is not None:
+        ax.tripcolor(
+            _triangulation(mesh), np.asarray(background), shading="gouraud",
+            cmap=cmap, vmin=vmin, vmax=vmax,
+        )
+    arrows = u.copy()
+    if normalize:
+        mag = np.linalg.norm(arrows, axis=1, keepdims=True)
+        mag[mag == 0] = 1.0
+        arrows = arrows / mag
+    sel = np.arange(mesh.n_nodes)[::skip]
+    ax.quiver(
+        mesh.coords[sel, 0], mesh.coords[sel, 1], arrows[sel, 0], arrows[sel, 1],
+        angles="xy", scale_units="xy", scale=scale, color="k", linewidth=0.6,
+    )
+    ax.set_aspect("equal")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    return ax
+
+
+def plot_streamlines(mesh: Mesh, u, ax=None, density=1.2, grid_n=100):
+    """Streamlines via grid interpolation (stokes_clean_for_report.py:565-569)."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    u = np.asarray(u)
+    tri = _triangulation(mesh)
+    gx, gy = np.meshgrid(np.linspace(0.01, 0.99, grid_n), np.linspace(0.01, 0.99, grid_n))
+    ux = mtri.LinearTriInterpolator(tri, u[:, 0])(gx, gy)
+    uy = mtri.LinearTriInterpolator(tri, u[:, 1])(gx, gy)
+    ax.streamplot(gx, gy, ux.filled(0.0), uy.filled(0.0), density=density, color="w")
+    ax.set_aspect("equal")
+    return ax
+
+
+def dashboard(mesh: Mesh, u, p, vorticity=None, path=None):
+    """3-panel velocity/pressure/vorticity figure
+    (stokes_clean_for_report.py:552-605)."""
+    fig, axes = plt.subplots(1, 3, figsize=(18, 5.5), constrained_layout=True)
+    speed = np.linalg.norm(np.asarray(u), axis=1)
+    plot_velocity(mesh, u, ax=axes[0], background=speed, cmap="viridis")
+    plot_streamlines(mesh, u, ax=axes[0])
+    axes[0].set_title("velocity + streamlines")
+    plot_scalar(mesh, p, ax=axes[1], cmap="coolwarm", label="p")
+    axes[1].set_title("pressure")
+    if vorticity is not None:
+        plot_scalar(mesh, vorticity, ax=axes[2], cmap="RdBu_r", label="ω")
+        axes[2].set_title("vorticity")
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig
+
+
+def tracer_frame(mesh: Mesh, u, points, status, ax=None, vmax=2.0):
+    """Food-capture frame: speed background, white quiver, colored tracers
+    (code/StokesFood.py:507-536)."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(7, 6))
+    speed = np.linalg.norm(np.asarray(u), axis=1)
+    plot_scalar(mesh, speed, ax=ax, cmap="viridis", vmin=0, vmax=vmax,
+                label="|u|")
+    pts = np.asarray(points)
+    status = np.asarray(status)
+    colors = np.where(status > 0, "red", "blue")
+    ax.scatter(pts[:, 0], pts[:, 1], c=colors, s=12, zorder=5, alpha=0.9)
+    ax.set_facecolor("black")
+    return ax
+
+
+def animate(
+    mesh: Mesh,
+    frames: Sequence[np.ndarray],
+    path: str = "animation.mp4",
+    fps: int = 20,
+    dpi: int = 120,
+    cmap: str = "plasma",
+    vmin: float = 0.0,
+    vmax: float = 1.0,
+    writer: str | None = None,
+):
+    """Offline scalar-field animation → mp4/gif
+    (good_visualization2.py:735-744).  Falls back to pillow/gif when
+    ffmpeg is unavailable."""
+    from matplotlib import animation as manim
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    tri = _triangulation(mesh)
+    tpc = ax.tripcolor(tri, np.asarray(frames[0]), shading="gouraud",
+                       cmap=cmap, vmin=vmin, vmax=vmax)
+    ax.set_aspect("equal")
+
+    def update(i):
+        tpc.set_array(np.asarray(frames[i]))
+        ax.set_title(f"frame {i}")
+        return [tpc]
+
+    ani = manim.FuncAnimation(fig, update, frames=len(frames), blit=True)
+    if writer is None:
+        writer = "ffmpeg" if manim.writers.is_available("ffmpeg") else "pillow"
+        if writer == "pillow" and path.endswith(".mp4"):
+            path = path[:-4] + ".gif"
+    ani.save(path, writer=writer, fps=fps, dpi=dpi)
+    plt.close(fig)
+    return path
+
+
+def run_with_frames(problem, steps: int, frame_interval: int, field: str = "c"):
+    """Run a Stokes simulation in chunks, snapshotting ``field`` between
+    chunks — the decoupled version of the reference's in-loop frame lists
+    (good_visualization2.py:574-577,724-726).
+
+    Returns (final_state, stacked_metrics_list, frames).
+    """
+    from tpufem.workloads import stokes
+
+    state = stokes.initial_state(problem)
+    frames = [np.asarray(state[field])]
+    metrics_chunks = []
+    done = 0
+    while done < steps:
+        chunk = min(frame_interval, steps - done)
+        state, metrics = stokes.run(problem, steps=chunk, state=state)
+        frames.append(np.asarray(state[field]))
+        metrics_chunks.append(metrics)
+        done += chunk
+    return state, metrics_chunks, frames
