@@ -30,9 +30,11 @@ _EPS_AREA = 1e-12
 
 def _lump(mesh: Mesh, per_element: jnp.ndarray) -> jnp.ndarray:
     """Scatter a per-element quantity to nodes with ⅓-area lumping and
-    normalize by the accumulated area (reference's shared idiom)."""
-    area = _f(mesh, mesh.area)
-    valid = _f(mesh, mesh.valid)
+    normalize by the accumulated area (reference's shared idiom).
+    Dtype follows the input field."""
+    dtype = per_element.dtype
+    area = jnp.asarray(mesh.area, dtype=dtype)
+    valid = jnp.asarray(mesh.valid, dtype=dtype)
     w = jnp.where(valid != 0, area / 3.0, 0.0)
     seg = jnp.asarray(mesh.tris).reshape(-1)
     n = mesh.n_nodes
@@ -54,7 +56,7 @@ def element_gradient(mesh: Mesh, p: jnp.ndarray) -> jnp.ndarray:
     """(T, 2) element-constant gradient of a nodal scalar p."""
     # stored grads = diffs/det — identical to the reference's basis-gradient
     # stack in calculate_gradiant (StokesColor.py:244-248).
-    grads = _f(mesh, mesh.grads)  # (T,3,2)
+    grads = jnp.asarray(mesh.grads, dtype=p.dtype)  # (T,3,2)
     p_loc = p[mesh.tris]  # (T,3)
     return jnp.einsum("ti,tid->td", p_loc, grads)
 
@@ -66,7 +68,7 @@ def gradient(mesh: Mesh, p: jnp.ndarray) -> jnp.ndarray:
 
 def element_divergence(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:
     """(T,) element-constant divergence of nodal velocity u (N, 2)."""
-    grads = _f(mesh, mesh.grads)
+    grads = jnp.asarray(mesh.grads, dtype=u.dtype)
     u_loc = u[mesh.tris]  # (T,3,2)
     dudx = jnp.einsum("ti,ti->t", u_loc[..., 0], grads[..., 0])
     dvdy = jnp.einsum("ti,ti->t", u_loc[..., 1], grads[..., 1])
@@ -83,7 +85,7 @@ def vorticity(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:
 
     Cf. ``/root/reference/scripts/stokes_clean_for_report.py:309-344``.
     """
-    grads = _f(mesh, mesh.grads)
+    grads = jnp.asarray(mesh.grads, dtype=u.dtype)
     u_loc = u[mesh.tris]
     duy_dx = jnp.einsum("ti,ti->t", u_loc[..., 1], grads[..., 0])
     dux_dy = jnp.einsum("ti,ti->t", u_loc[..., 0], grads[..., 1])

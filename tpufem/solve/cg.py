@@ -23,10 +23,13 @@ import jax.numpy as jnp
 
 
 def _deflate(x: jnp.ndarray, weights: jnp.ndarray | None) -> jnp.ndarray:
-    """Project out the constant nullspace component (weighted mean)."""
+    """Project out the nullspace component along ``weights`` (default: the
+    constant vector).  This is an orthogonal projection x − (v·x/v·v)v —
+    NOT a global mean shift, which would contaminate entries outside the
+    support of v (e.g. merged-out slave dofs)."""
     if weights is None:
         return x - jnp.mean(x)
-    return x - jnp.sum(x * weights) / jnp.sum(weights)
+    return x - (jnp.vdot(weights, x) / jnp.vdot(weights, weights)) * weights
 
 
 def cg(
@@ -96,7 +99,7 @@ def cg_fixed(
 
     b = project(b)
     r0 = project(b - matvec(x0))
-    z0 = M(r0)
+    z0 = project(M(r0))
     rz0 = jnp.vdot(r0, z0)
 
     def body(state, _):
@@ -106,14 +109,16 @@ def cg_fixed(
         alpha = jnp.where(denom != 0, rz / denom, 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = M(r)
+        # the preconditioned direction must be deflated too — otherwise
+        # roundoff along the nullspace makes p·Ap → 0 and alpha explodes
+        z = project(M(r))
         rz_new = jnp.vdot(r, z)
         beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         p = z + beta * p
         return (x, r, p, rz_new), None
 
     (x, r, _, _), _ = jax.lax.scan(body, (x0, r0, z0, rz0), None, length=iters)
-    return x, jnp.linalg.norm(r)
+    return (project(x) if deflate else x), jnp.linalg.norm(r)
 
 
 def jacobi_pcg(matvec, diag, b, **kwargs):

@@ -1,0 +1,108 @@
+"""Matrix-free solvers for the large-mesh regime.
+
+The dense fast path caps out around N ≈ 4k nodes (O(N²) matvecs, O(N³)
+host factorization).  Beyond that, systems are solved with
+Jacobi-preconditioned CG over static-pattern CSR operators — O(nnz)
+per application, O(N) memory — the scaling path SURVEY.md §7 calls for
+(the reference itself cannot scale past ~1k nodes).
+
+* :class:`ViscousCG` — (I + Δt·ν·K) with the reference's symmetric
+  Dirichlet row+column surgery expressed as masking:
+      A(x) = m ∘ (x + Δt·ν·K(m ∘ x)) + (1−m) ∘ x,  m = interior mask.
+* :class:`PressureCG` — the periodic pressure Poisson in merged symmetric
+  weak form.  Note (K/M_L) p = b  ⟺  K p = M_L ∘ b row-by-row, so this is
+  the same system the reference solves (StokesColor.py:478); the DOF-merge
+  sums the *unscaled* rows (weak-consistent, SPD), which differs from the
+  penalty limit only in the mass weighting of the merged boundary-pair
+  equations.  The constant nullspace is handled by deflation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.ops.sparse import CSROperator, csr_matvec
+from tpufem.solve.cg import cg_fixed
+
+
+def _solve_columns(matvec, b, **kw):
+    """cg_fixed over a (N,) vector or each column of (N, k)."""
+    if b.ndim == 1:
+        x, res = cg_fixed(matvec, b, **kw)
+        return x
+    cols = [cg_fixed(matvec, b[:, i], **kw)[0] for i in range(b.shape[1])]
+    return jnp.stack(cols, axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViscousCG:
+    K: CSROperator
+    interior_mask: jnp.ndarray  # (N,) 1.0 interior / 0.0 dirichlet
+    dt_nu: float
+    iters: int
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        m = self.interior_mask
+        return m * (x + self.dt_nu * csr_matvec(self.K, m * x)) + (1.0 - m) * x
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        diag = 1.0 + self.dt_nu * self._diag()
+        inv_diag = jnp.where(self.interior_mask > 0, 1.0 / diag, 1.0)
+        return _solve_columns(
+            self.matvec, b, iters=self.iters, precond=lambda r: inv_diag * r
+        )
+
+    def _diag(self) -> jnp.ndarray:
+        rows = jnp.asarray(self.K.row_ids)
+        is_diag = rows == jnp.asarray(self.K.indices)
+        return jax.ops.segment_sum(
+            jnp.where(is_diag, self.K.data, 0.0), rows, num_segments=self.K.shape[0]
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PressureCG:
+    K_merged: CSROperator  # stiffness on slave→master relabeled connectivity
+    m_lumped: jnp.ndarray
+    masters: np.ndarray
+    slaves: np.ndarray
+    active_mask: jnp.ndarray  # 0.0 at slave dofs
+    iters: int
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return csr_matvec(self.K_merged, x)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Solve (K/M_L)-equivalent system: K_merged p = merge(M_L ∘ b)."""
+        rhs = self.m_lumped * b
+        if len(self.masters):
+            m = jnp.asarray(self.masters)
+            s = jnp.asarray(self.slaves)
+            rhs = rhs.at[m].add(rhs[s])
+            rhs = rhs * self.active_mask
+        diag = self._diag()
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+        p, _ = cg_fixed(
+            self.matvec,
+            rhs,
+            iters=self.iters,
+            precond=lambda r: inv_diag * r,
+            deflate=True,
+            deflate_weights=self.active_mask,
+        )
+        if len(self.masters):
+            p = p.at[jnp.asarray(self.slaves)].set(p[jnp.asarray(self.masters)])
+        return p
+
+    def _diag(self) -> jnp.ndarray:
+        rows = jnp.asarray(self.K_merged.row_ids)
+        is_diag = rows == jnp.asarray(self.K_merged.indices)
+        return jax.ops.segment_sum(
+            jnp.where(is_diag, self.K_merged.data, 0.0),
+            rows,
+            num_segments=self.K_merged.shape[0],
+        )

@@ -24,17 +24,23 @@ from tpufem.mesh.core import Mesh
 from tpufem.ops import assembly
 
 
-def merge_map(n: int, masters: np.ndarray, slaves: np.ndarray) -> np.ndarray:
-    """(N, n_act) periodic DOF-merge matrix M_g with x_full = M_g x_act.
+def owner_map(n: int, masters: np.ndarray, slaves: np.ndarray) -> np.ndarray:
+    """(N,) node → owning node (master for slaves, itself otherwise).
 
-    Slave dofs share their master's column; non-injective pairings resolve
-    like the reference's sequential elimination (last pair wins).
+    Non-injective pairings resolve like the reference's sequential
+    elimination (last pair wins); ownership chains are collapsed.
     """
     owner = np.arange(n)
     for m, s in zip(np.asarray(masters), np.asarray(slaves)):
         owner[s] = m
     for _ in range(4):  # resolve chains
         owner = owner[owner]
+    return owner
+
+
+def merge_map(n: int, masters: np.ndarray, slaves: np.ndarray) -> np.ndarray:
+    """(N, n_act) periodic DOF-merge matrix M_g with x_full = M_g x_act."""
+    owner = owner_map(n, masters, slaves)
     active = np.nonzero(owner == np.arange(n))[0]
     col_of = -np.ones(n, dtype=np.int64)
     col_of[active] = np.arange(len(active))

@@ -58,7 +58,11 @@ class StokesConfig:
     H: float = 1.0
     tol: float = 1e-6
     # numerics
-    solver: str = "lu"  # "lu" (parity) | "inverse" (fastest TPU path)
+    solver: str = "lu"  # "lu" (parity) | "inverse" (fastest TPU path for
+    # the dense regime, N ≲ 4k) | "cg" (matrix-free Jacobi-PCG over CSR —
+    # O(N) memory, the large-mesh path)
+    cg_iters_visc: int = 60
+    cg_iters_pressure: int = 300
     precision: str = "f64"  # "f64" (parity) | "f32" | "bf16" (device dtype;
     # all factorizations happen on host in f64 regardless)
     pressure_mode: str = "penalty"  # "penalty" (reference ±1e10, f64-only)
@@ -147,6 +151,34 @@ class StokesProblem:
             return cls._build(mesh, config)
 
     @classmethod
+    def _build_matfree(cls, mesh, config, boundary, m_lumped, dtype):
+        assert config.transport in ("none", "dye", "tracers"), (
+            "eulerian_dye / dye_griddata need the dense regime (per-step "
+            "dense solves); use solver='lu'/'inverse'"
+        )
+        assert not config.fused, "fused and cg are mutually exclusive"
+        visc, pressure = _build_matfree_problem_fields(
+            mesh, config, boundary, m_lumped, dtype
+        )
+        tracer_init = None
+        if config.transport == "tracers":
+            tracer_init = transport.init_tracer_grid(
+                config.tracer_density, L=config.L, H=config.H,
+                exclude_center=config.center, exclude_radius=0.25,
+            )
+        return cls(
+            mesh=mesh,
+            boundary=boundary,
+            visc_solver=visc,
+            pressure_solver=pressure,
+            inner_values=_inner_values(mesh, boundary, config),
+            m_lumped=jnp.asarray(np.asarray(m_lumped), dtype=dtype),
+            locator=_make_locator(mesh, config),
+            tracer_init=tracer_init,
+            config=config,
+        )
+
+    @classmethod
     def _build(cls, mesh: Mesh, config: StokesConfig) -> "StokesProblem":
         from tpufem.solve.dense import DenseInverse
         from tpufem.solve.pressure import merged_pressure_apply_matrix
@@ -156,24 +188,26 @@ class StokesProblem:
             raise ValueError(
                 f"unknown transport {config.transport!r}; expected one of {valid_transports}"
             )
-        if config.precision != "f64":
+        if config.precision != "f64" and config.solver != "cg":
             assert config.pressure_mode == "merge", (
                 "the ±1e10 penalty pressure operator is numerically unusable "
                 "below f64 — use pressure_mode='merge' (exact periodic)"
-            )
-            assert config.dense_ops, (
-                "sub-f64 precision requires dense_ops=True (the segment-sum "
-                "calculus path promotes through the f64 geometry tensors)"
             )
         dtype = _DTYPES[config.precision]
         boundary = bc.ChannelBoundary.build(
             mesh, inner_marker=config.inner_marker, L=config.L, H=config.H, tol=config.tol
         )
-        K = assembly.assemble_dense(mesh, assembly.element_stiffness(mesh))
         m_lumped = assembly.lumped_mass(mesh)
+        n = mesh.n_nodes
+
+        if config.solver == "cg":
+            # matrix-free large-mesh path: O(nnz) CSR operators + CG.
+            # No dense matrices are ever materialized.
+            return cls._build_matfree(mesh, config, boundary, m_lumped, dtype)
+
+        K = assembly.assemble_dense(mesh, assembly.element_stiffness(mesh))
 
         # viscous system: (I + Δt·ν·K), symmetric Dirichlet surgery
-        n = mesh.n_nodes
         A_visc = jnp.eye(n, dtype=K.dtype) + config.dt * config.nu * K
         A_visc = bc.dirichlet_rows_cols(A_visc, boundary.dirichlet)
 
@@ -246,16 +280,7 @@ class StokesProblem:
             )
             assert config.dense_ops and dx is not None
 
-        if config.bc_kind == "squirmer":
-            inner_values = bc.squirmer_values(
-                mesh.coords, boundary.inner, config.center, config.B1, config.B2
-            )
-        elif config.bc_kind == "rotating":
-            inner_values = bc.rotating_cylinder_values(
-                mesh.coords, boundary.inner, config.center, config.omega
-            )
-        else:
-            raise ValueError(f"unknown bc_kind: {config.bc_kind}")
+        inner_values = _inner_values(mesh, boundary, config)
 
         if config.fused:
             fused_M, fused_b, fused_Dstar, fused_dstar0 = _compose_fused_step(
@@ -268,11 +293,7 @@ class StokesProblem:
             fused_Dstar = jnp.asarray(fused_Dstar, dtype=dtype)
             fused_dstar0 = jnp.asarray(fused_dstar0, dtype=dtype)
 
-        if config.locator == "topk":
-            locator = transport.TopKLocator(mesh, k=config.locator_k)
-        else:
-            g = config.locator_grid or int(np.clip(np.sqrt(mesh.n_tris), 8, 128))
-            locator = transport.GridLocator.build(mesh, g=g)
+        locator = _make_locator(mesh, config)
         tracer_init = None
         if config.transport == "tracers":
             tracer_init = transport.init_tracer_grid(
@@ -304,6 +325,62 @@ class StokesProblem:
             eul_K=eul_K,
             eul_Mg=eul_Mg,
         )
+
+
+def _inner_values(mesh, boundary, config) -> np.ndarray:
+    if config.bc_kind == "squirmer":
+        return bc.squirmer_values(
+            mesh.coords, boundary.inner, config.center, config.B1, config.B2
+        )
+    if config.bc_kind == "rotating":
+        return bc.rotating_cylinder_values(
+            mesh.coords, boundary.inner, config.center, config.omega
+        )
+    raise ValueError(f"unknown bc_kind: {config.bc_kind}")
+
+
+def _make_locator(mesh, config):
+    if config.locator == "topk":
+        return transport.TopKLocator(mesh, k=config.locator_k)
+    g = config.locator_grid or int(np.clip(np.sqrt(mesh.n_tris), 8, 128))
+    return transport.GridLocator.build(mesh, g=g)
+
+
+def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
+    """ViscousCG + PressureCG solvers over static CSR operators."""
+    import dataclasses as dc
+
+    from tpufem.solve.matfree import PressureCG, ViscousCG
+    from tpufem.solve.pressure import owner_map as pressure_owner_map
+
+    ke = assembly.element_stiffness(mesh)
+    K_csr = assembly.assemble_csr(mesh, ke)
+    K_csr = K_csr.with_data(K_csr.data.astype(dtype))
+    interior_mask = np.ones(mesh.n_nodes)
+    interior_mask[boundary.dirichlet] = 0.0
+    visc = ViscousCG(
+        K=K_csr,
+        interior_mask=jnp.asarray(interior_mask, dtype=dtype),
+        dt_nu=config.dt * config.nu,
+        iters=config.cg_iters_visc,
+    )
+
+    owner = pressure_owner_map(mesh.n_nodes, boundary.masters, boundary.slaves)
+    # relabel slave node ids to masters in the connectivity, re-assemble
+    relabeled = owner[mesh.tris].astype(np.int32)
+    mesh_merged = dc.replace(mesh, tris=relabeled)
+    Km_csr = assembly.assemble_csr(mesh_merged, ke)
+    Km_csr = Km_csr.with_data(Km_csr.data.astype(dtype))
+    active_mask = (owner == np.arange(mesh.n_nodes)).astype(np.float64)
+    pressure = PressureCG(
+        K_merged=Km_csr,
+        m_lumped=jnp.asarray(np.asarray(m_lumped), dtype=dtype),
+        masters=boundary.masters,
+        slaves=boundary.slaves,
+        active_mask=jnp.asarray(active_mask, dtype=dtype),
+        iters=config.cg_iters_pressure,
+    )
+    return visc, pressure
 
 
 def _compose_fused_step(mesh, boundary, inner_values, A_visc, A_eff, dx, dy, config):
