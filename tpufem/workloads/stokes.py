@@ -70,6 +70,9 @@ class StokesConfig:
     #   and iterative solves, SURVEY.md §7.3)
     dense_ops: bool = True  # evaluate div/grad as precomputed (N,N) MXU
     # matvecs instead of gather/segment-sum (fast for N ≲ 4k)
+    matvec_impl: str = "xla"  # "xla" | "pallas" — implementation of the
+    # fused-step matvec (ops/pallas_kernels.py; XLA's lowering is already
+    # near speed-of-light for this shape, measured within ~10%)
     fused: bool = False  # compose the ENTIRE per-step velocity update
     # (viscous solve → BCs → double projection) into one (2N,2N) matrix on
     # the host; each step is then a single MXU matvec.  Exact linear-algebra
@@ -543,7 +546,20 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0):
         n = mesh.n_nodes
         u_flat = jnp.concatenate([u[:, 0], u[:, 1]])
         div_star = problem.fused_Dstar @ u_flat + problem.fused_dstar0
-        new_flat = problem.fused_M @ u_flat + problem.fused_b
+        if cfg.matvec_impl == "pallas":
+            from tpufem.ops.pallas_kernels import _pallas_matvec, _round_up
+
+            rows = _round_up(2 * n, 256)
+            cols = _round_up(2 * n, 128)
+            m_pad = jnp.zeros((rows, cols), dtype=problem.fused_M.dtype)
+            m_pad = m_pad.at[: 2 * n, : 2 * n].set(problem.fused_M)
+            b_pad = jnp.zeros(rows, dtype=problem.fused_b.dtype).at[: 2 * n].set(
+                problem.fused_b
+            )
+            x_pad = jnp.zeros(cols, dtype=u_flat.dtype).at[: 2 * n].set(u_flat)
+            new_flat = _pallas_matvec(m_pad, x_pad, b_pad, 2 * n)
+        else:
+            new_flat = problem.fused_M @ u_flat + problem.fused_b
         u_new = jnp.stack([new_flat[:n], new_flat[n:]], axis=1)
         final_div = problem.div(u_new)
         metrics = {
