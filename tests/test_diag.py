@@ -83,6 +83,38 @@ def test_single_step_projection_reduces_divergence(mesh1):
     )
 
 
+def test_laplacian_blind_spot(mesh1):
+    """The stiffness operator must respond to checkerboard pressure — a
+    vanishing response would mean unopposed checkerboard modes."""
+    assert float(diag.laplacian_blind_spot_test(mesh1)) > 1.0
+
+
+def test_gradient_of_checkerboard(mesh1):
+    """The lumped gradient partially smooths checkerboards (its response
+    is much smaller than for a smooth unit-gradient field — the documented
+    origin of the reference's checkerboarding artifacts) but is nonzero."""
+    g = float(diag.gradient_of_checkerboard_test(mesh1))
+    assert g > 0.1  # not blind
+
+
+def test_projection_consistency(mesh1):
+    assert diag.projection_consistency_test(mesh1) > 0.9
+
+
+def test_rhs_handling(mesh1):
+    """Corrected Dirichlet-in-RHS method reproduces targets exactly."""
+    assert diag.rhs_handling_test(mesh1) < 1e-12
+
+
+def test_single_step_diagnostics(mesh1):
+    problem = stokes.StokesProblem.build(
+        mesh1, stokes.StokesConfig(pressure_mode="merge")
+    )
+    d = diag.single_step_diagnostics(problem)
+    assert d["max_u_star"] > 0 and np.isfinite(d["max_p"])
+    assert d["div_after_max"] < d["div_star_max"]
+
+
 def test_blowup_guard():
     import jax.numpy as jnp
 

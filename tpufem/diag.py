@@ -138,6 +138,92 @@ def checkerboard_response(mesh: Mesh):
     return jnp.max(jnp.abs(calculus.divergence(mesh, u)))
 
 
+def checkerboard_field(mesh: Mesh, seed: int = 0) -> np.ndarray:
+    """A ±1 'checkerboard' nodal field (random-sign proxy, like the
+    reference's probes — no structured 2-coloring exists on an
+    unstructured mesh)."""
+    rng = np.random.default_rng(seed)
+    return np.where(rng.integers(0, 2, mesh.n_nodes) > 0, 1.0, -1.0)
+
+
+def laplacian_blind_spot_test(mesh: Mesh):
+    """Response norm of the pressure Laplacian to a checkerboard pressure
+    (stokes_report.py:593-637).  A near-zero response means that mode
+    lives in the operator's numerical nullspace (LBB instability) and will
+    pollute the pressure unopposed.  Returns ‖K c‖ / ‖c‖."""
+    c = jnp.asarray(checkerboard_field(mesh))
+    K = assembly.assemble_dense(mesh, assembly.element_stiffness(mesh))
+    return jnp.linalg.norm(K @ c) / jnp.linalg.norm(c)
+
+
+def gradient_of_checkerboard_test(mesh: Mesh):
+    """Magnitude of the lumped gradient of a checkerboard pressure
+    (stokes_report.py:639-673): if ≈ 0 the velocity correction cannot see
+    checkerboard pressure — the projection's blind spot."""
+    c = jnp.asarray(checkerboard_field(mesh))
+    g = calculus.gradient(mesh, c)
+    return jnp.mean(jnp.linalg.norm(g, axis=1))
+
+
+def projection_consistency_test(mesh: Mesh, seed: int = 0):
+    """Correlation between the lumped-divergence RHS and the consistent
+    (weak) RHS −∫∇φ·u on a random velocity (stokes_report.py:434-479).
+    High correlation ⇒ the two discrete routes agree."""
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    mass = assembly.lumped_mass(mesh)
+    lumped_rhs = np.asarray(calculus.divergence(mesh, u) * mass)
+    # −∫∇φ·u = +∫φ (∇·u) by parts (interior) — already the weak divergence
+    consistent_rhs = np.asarray(calculus.consistent_divergence_rhs(mesh, u))
+    interior = np.asarray(mesh.markers) == 0
+    return float(np.corrcoef(lumped_rhs[interior], consistent_rhs[interior])[0, 1])
+
+
+def rhs_handling_test(mesh: Mesh, value: float = 1.5):
+    """A/B comparison of Dirichlet handling (stokes_report.py:675-734,
+    the reference's Test H): the 'corrected' method writes target values
+    into the RHS of the identity-row system; the flawed method solves with
+    stale RHS entries and relies on post-hoc overwriting.  Returns the max
+    deviation of the corrected solve's boundary values from the target
+    (should be exactly 0)."""
+    from tpufem import bc as bc_mod
+    from tpufem.solve import make_dense_solver
+
+    boundary = bc_mod.ChannelBoundary.build(mesh)
+    K = assembly.assemble_dense(mesh, assembly.element_stiffness(mesh))
+    A = jnp.eye(mesh.n_nodes, dtype=K.dtype) + 0.01 * K
+    A = bc_mod.dirichlet_rows_cols(A, boundary.dirichlet)
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    rhs = rhs.at[jnp.asarray(boundary.dirichlet)].set(value)  # corrected method
+    x = make_dense_solver(A).solve(rhs)
+    return float(jnp.max(jnp.abs(x[jnp.asarray(boundary.dirichlet)] - value)))
+
+
+def single_step_diagnostics(problem, u0=None):
+    """One projection step broken into stages with per-stage divergence —
+    the reference's u*/pressure single-step diagnostics
+    (stokes_report.py:736-808).  Returns a dict of stage observables."""
+    import jax.numpy as jnp
+
+    from tpufem.workloads import stokes
+
+    if u0 is None:
+        u0 = stokes.initial_state(problem)["u"]
+    dt = problem.config.dt
+    u_star = problem.visc_solver.solve(u0)
+    u_star = stokes.apply_field_bcs(problem, u_star)
+    div_star = problem.div(u_star)
+    p = problem.pressure_solver.solve(-div_star / dt)
+    u1 = u_star - dt * problem.grad(p)
+    return {
+        "max_u_star": float(jnp.max(jnp.abs(u_star))),
+        "div_star_max": float(jnp.max(jnp.abs(div_star))),
+        "max_p": float(jnp.max(jnp.abs(p))),
+        "div_after_max": float(jnp.max(jnp.abs(problem.div(u1)))),
+    }
+
+
 def projection_reduces_divergence(step_results: dict) -> bool:
     """Single-step projection oracle (scripts/test2.py, final_test.py):
     after a projection step the divergence must drop substantially."""
