@@ -115,7 +115,7 @@ class GridLocator:
             cells[i, : len(b)] = b
         return cls(mesh=mesh, cells=cells, origin=tuple(lo), extent=tuple(extent), g=g)
 
-    def find(self, points: jnp.ndarray):
+    def find(self, points: jnp.ndarray, return_weights: bool = False):
         lo = jnp.asarray(self.origin, dtype=points.dtype)
         extent = jnp.asarray(self.extent, dtype=points.dtype)
         ij = jnp.clip(
@@ -123,7 +123,7 @@ class GridLocator:
         )
         cell = ij[:, 0] * self.g + ij[:, 1]
         cand = jnp.asarray(self.cells)[cell]  # (P, C_max)
-        return _first_containing(self.mesh, cand, points)
+        return _first_containing(self.mesh, cand, points, return_weights)
 
 
 def _tri_aabb_overlap(tri: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> bool:
@@ -152,9 +152,13 @@ def _tri_xy_table(mesh: Mesh) -> np.ndarray:
     return _TRI_XY_CACHE[key]
 
 
-def _first_containing(mesh: Mesh, cand: jnp.ndarray, points: jnp.ndarray):
+def _first_containing(mesh: Mesh, cand: jnp.ndarray, points: jnp.ndarray,
+                      return_weights: bool = False):
     """Among per-point candidate triangle lists, pick the first containing
-    triangle (w ≥ 0 on all corners, |det| ≥ 1e-14), like the reference."""
+    triangle (w ≥ 0 on all corners, |det| ≥ 1e-14), like the reference.
+    ``return_weights=True`` also returns the winning barycentric weights
+    (already computed during the containment test — saves the hot path a
+    second gather + recompute)."""
     safe_cand = jnp.maximum(cand, 0)
     tri_xy = jnp.asarray(_tri_xy_table(mesh), dtype=points.dtype)[safe_cand]  # (P,k,3,2)
     w, det = _barycentric(tri_xy, points[:, None, :])
@@ -162,7 +166,11 @@ def _first_containing(mesh: Mesh, cand: jnp.ndarray, points: jnp.ndarray):
     first = jnp.argmax(inside, axis=1)  # first True (or 0 if none)
     found = jnp.any(inside, axis=1)
     tri_ids = jnp.take_along_axis(safe_cand, first[:, None], axis=1)[:, 0]
-    return jnp.where(found, tri_ids, 0), found
+    tri_ids = jnp.where(found, tri_ids, 0)
+    if return_weights:
+        w_sel = jnp.take_along_axis(w, first[:, None, None], axis=1)[:, 0, :]
+        return tri_ids, found, w_sel
+    return tri_ids, found
 
 
 # ---------------------------------------------------------------------------
@@ -178,10 +186,13 @@ def interpolate(mesh: Mesh, field: jnp.ndarray, points: jnp.ndarray, locator):
     points outside the mesh (the reference's masked array likewise
     contributes nothing to the tracer update).
     """
-    tri_ids, found = locator.find(points)
+    if hasattr(locator, "find") and isinstance(locator, GridLocator):
+        tri_ids, found, w = locator.find(points, return_weights=True)
+    else:
+        tri_ids, found = locator.find(points)
+        tri_xy = jnp.asarray(_tri_xy_table(mesh), dtype=points.dtype)[tri_ids]
+        w, _ = _barycentric(tri_xy, points)
     corner = jnp.asarray(mesh.tris)[tri_ids]  # (P,3)
-    tri_xy = jnp.asarray(_tri_xy_table(mesh), dtype=points.dtype)[tri_ids]
-    w, _ = _barycentric(tri_xy, points)
     vals = jnp.einsum("pi,pi...->p...", w, field[corner])
     mask = found if vals.ndim == 1 else found[:, None]
     return jnp.where(mask, vals, 0.0), found
