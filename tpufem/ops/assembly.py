@@ -149,9 +149,11 @@ _PATTERN_CACHE: dict[int, dict] = {}
 
 
 def _csr_pattern(mesh: Mesh) -> dict:
+    # cache holds the mesh itself: bare id() keys can collide after GC
     key = id(mesh)
-    if key in _PATTERN_CACHE:
-        return _PATTERN_CACHE[key]
+    hit = _PATTERN_CACHE.get(key)
+    if hit is not None and hit[0] is mesh:
+        return hit[1]
     tris = np.asarray(mesh.tris)
     rows = np.repeat(tris, 3, axis=1).reshape(-1)
     cols = np.tile(tris, (1, 3)).reshape(-1)
@@ -172,7 +174,7 @@ def _csr_pattern(mesh: Mesh) -> dict:
         "inverse": inverse.astype(np.int32),
         "nnz": uniq.shape[0],
     }
-    _PATTERN_CACHE[key] = pattern
+    _PATTERN_CACHE[key] = (mesh, pattern)
     return pattern
 
 

@@ -63,6 +63,8 @@ _ROWS_CACHE: dict[int, np.ndarray] = {}
 
 def self_rows(op: CSROperator) -> np.ndarray:
     key = id(op.indptr)
-    if key not in _ROWS_CACHE:
-        _ROWS_CACHE[key] = op.row_ids
-    return _ROWS_CACHE[key]
+    hit = _ROWS_CACHE.get(key)
+    if hit is None or hit[0] is not op.indptr:
+        hit = (op.indptr, op.row_ids)
+        _ROWS_CACHE[key] = hit
+    return hit[1]

@@ -147,9 +147,11 @@ def _tri_xy_table(mesh: Mesh) -> np.ndarray:
     """(T, 3, 2) corner coordinates, cached — one gather instead of the
     tris[cand] → coords[...] double indirection in the hot locate path."""
     key = id(mesh)
-    if key not in _TRI_XY_CACHE:
-        _TRI_XY_CACHE[key] = mesh.coords[mesh.tris]
-    return _TRI_XY_CACHE[key]
+    hit = _TRI_XY_CACHE.get(key)
+    if hit is None or hit[0] is not mesh:
+        hit = (mesh, mesh.coords[mesh.tris])
+        _TRI_XY_CACHE[key] = hit
+    return hit[1]
 
 
 def _first_containing(mesh: Mesh, cand: jnp.ndarray, points: jnp.ndarray,

@@ -136,13 +136,15 @@ def run(problem: ADProblem, steps: int | None = None):
     n_steps = steps if steps is not None else problem.config.steps
     f0 = initial_state(problem)
     key = (id(problem), n_steps)
-    scan_all = _RUN_CACHE.get(key)
-    if scan_all is None:
+    hit = _RUN_CACHE.get(key)
+    if hit is not None and hit[0] is problem:
+        scan_all = hit[1]
+    else:
         step = make_step(problem)
 
         @jax.jit
         def scan_all(f0):
             return jax.lax.scan(step, f0, None, length=n_steps)
 
-        _RUN_CACHE[key] = scan_all
+        _RUN_CACHE[key] = (problem, scan_all)
     return scan_all(f0)

@@ -246,12 +246,14 @@ def run(problem: NSProblem, steps: int | None = None):
     u0 = jnp.zeros((problem.mesh.n_nodes, 2), dtype=dtype)
 
     key = (id(problem), n_steps)
-    scan_all = _RUN_CACHE.get(key)
-    if scan_all is None:
+    hit = _RUN_CACHE.get(key)
+    if hit is not None and hit[0] is problem:
+        scan_all = hit[1]
+    else:
 
         @jax.jit
         def scan_all(u0):
             return jax.lax.scan(lambda u, _: ns_step(problem, u), u0, None, length=n_steps)
 
-        _RUN_CACHE[key] = scan_all
+        _RUN_CACHE[key] = (problem, scan_all)
     return scan_all(u0)

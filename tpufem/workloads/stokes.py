@@ -719,16 +719,20 @@ def run(problem: StokesProblem, steps: int | None = None, state: dict | None = N
         state = initial_state(problem)
     n_steps = steps if steps is not None else cfg.steps
 
+    # cache value holds the problem itself: id() keys are only unique while
+    # the object is alive — a bare id key can collide after GC recycling
     key = (id(problem), n_steps)
-    scan_all = _RUN_CACHE.get(key)
-    if scan_all is None:
+    hit = _RUN_CACHE.get(key)
+    if hit is not None and hit[0] is problem:
+        scan_all = hit[1]
+    else:
         step = make_step(problem)
 
         @jax.jit
         def scan_all(state):
             return jax.lax.scan(step, state, None, length=n_steps)
 
-        _RUN_CACHE[key] = scan_all
+        _RUN_CACHE[key] = (problem, scan_all)
 
     var0 = dye_baseline(problem, state) if cfg.transport in _DYE_TRANSPORTS else None
     out_state, metrics = scan_all(state)
