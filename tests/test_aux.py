@@ -63,6 +63,30 @@ def test_metrics_jsonl_csv(dye_problem, tmp_path):
     assert "final" in s["max_u"]
 
 
+def test_print_reference_style(dye_problem, capsys):
+    _, m = stokes.run(dye_problem, steps=3)
+    tmetrics.print_reference_style(m)
+    out = capsys.readouterr().out
+    assert "Div(u*)" in out and "Color mixing progress" in out
+    assert out.count("Step:") == 3
+
+
+def test_bc_overlay_plot(mesh1, dye_problem, tmp_path):
+    ax = viz.plot_bc_overlay(mesh1, dye_problem.boundary)
+    ax.figure.savefig(tmp_path / "bc.png")
+    assert (tmp_path / "bc.png").stat().st_size > 5000
+
+
+def test_channel_outer_value(mesh1):
+    """Moving-wall channel config (scripts/NS.py family: OUTER=[1,0])."""
+    cfg = stokes.StokesConfig(outer_value=(1.0, 0.0), pressure_mode="merge")
+    problem = stokes.StokesProblem.build(mesh1, cfg)
+    state, _ = stokes.run(problem, steps=5)
+    u = np.asarray(state["u"])
+    np.testing.assert_allclose(u[problem.boundary.walls, 0], 1.0, atol=1e-12)
+    assert np.isfinite(u).all()
+
+
 def test_phase_timer():
     t = tmetrics.PhaseTimer()
     with t.phase("a"):

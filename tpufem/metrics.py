@@ -64,6 +64,27 @@ def summarize(metrics: dict) -> dict:
     return out
 
 
+def print_reference_style(metrics: dict, every: int = 1, file=None) -> None:
+    """Emit the reference's per-step console line from stacked metrics —
+    e.g. ``Step: 12, Div(u*): 1.2e-01, Final Div(u): 3.4e-02, ...``
+    (StokesColor.py:586 / StokesFood.py:505 format), printed after the
+    run instead of inside the hot loop."""
+    rows = metrics_to_rows(metrics)
+    for row in rows[::every]:
+        parts = [f"Step: {row['step']}"]
+        if "div_star_max" in row:
+            parts.append(f"Div(u*): {row['div_star_max']:.2e}")
+        if "final_div_max" in row:
+            parts.append(f"Final Div(u): {row['final_div_max']:.2e}")
+        if "mixing_progress" in row:
+            parts.append(f"Color mixing progress={row['mixing_progress']:.3f}")
+        if "eaten" in row:
+            parts.append(f"Eaten (Red): {int(row['eaten'])}")
+        if "max_u" in row:
+            parts.append(f"Max U: {row['max_u']:.2e}")
+        print(", ".join(parts), file=file)
+
+
 # ---------------------------------------------------------------------------
 # Profiling / tracing (SURVEY.md §5 "tracing" rebuild)
 # ---------------------------------------------------------------------------

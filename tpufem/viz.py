@@ -131,6 +131,26 @@ def tracer_frame(mesh: Mesh, u, points, status, ax=None, vmax=2.0):
     return ax
 
 
+def plot_bc_overlay(mesh: Mesh, boundary, ax=None):
+    """Boundary-condition debug overlay (the commented-out debug block of
+    scripts/stokes_report.py:1001-1042): walls, inner body, periodic
+    masters/slaves color-coded over the mesh wireframe."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 6))
+    plot_mesh(mesh, ax=ax)
+    c = mesh.coords
+    ax.scatter(c[boundary.walls, 0], c[boundary.walls, 1], s=14, c="tab:red",
+               label="walls (Dirichlet)")
+    ax.scatter(c[boundary.inner, 0], c[boundary.inner, 1], s=14, c="tab:orange",
+               label="inner body")
+    ax.scatter(c[boundary.masters, 0], c[boundary.masters, 1], s=14,
+               c="tab:green", label="periodic masters")
+    ax.scatter(c[boundary.slaves, 0], c[boundary.slaves, 1], s=14,
+               c="tab:blue", label="periodic slaves")
+    ax.legend(loc="upper right", fontsize=7)
+    return ax
+
+
 def animate(
     mesh: Mesh,
     frames: Sequence[np.ndarray],

@@ -54,6 +54,8 @@ class StokesConfig:
     center: tuple[float, float] = (0.5, 0.5)
     # domain / markers
     inner_marker: int = 2
+    outer_value: tuple[float, float] = (0.0, 0.0)  # wall velocity — the
+    # early channel-flow iterations drive with OUTER=[1,0] (scripts/NS.py)
     L: float = 1.0
     H: float = 1.0
     tol: float = 1e-6
@@ -416,6 +418,8 @@ def _compose_fused_step(mesh, boundary, inner_values, A_visc, A_eff, dx, dy, con
     E[boundary.inner, :] = 0.0
     qx = np.zeros(n)
     qy = np.zeros(n)
+    qx[boundary.walls] = config.outer_value[0]
+    qy[boundary.walls] = config.outer_value[1]
     qx[boundary.inner] = inner_values[:, 0]
     qy[boundary.inner] = inner_values[:, 1]
 
@@ -458,7 +462,9 @@ def apply_field_bcs(problem: StokesProblem, u: jnp.ndarray, scale=1.0) -> jnp.nd
     b = problem.boundary
     if len(b.masters):
         u = bc.apply_periodic_field(u, b.masters, b.slaves)
-    u = u.at[jnp.asarray(b.walls)].set(0.0)
+    u = u.at[jnp.asarray(b.walls)].set(
+        jnp.asarray(problem.config.outer_value, dtype=u.dtype)
+    )
     vals = jnp.asarray(problem.inner_values, dtype=u.dtype) * scale
     return u.at[jnp.asarray(b.inner)].set(vals)
 
@@ -502,8 +508,9 @@ def _report_projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale):
     walls = jnp.asarray(b.walls)
     inner = jnp.asarray(b.inner)
 
+    outer = jnp.asarray(cfg.outer_value, dtype=u.dtype)
     rhs = u + dt * f
-    rhs = rhs.at[walls].set(0.0)
+    rhs = rhs.at[walls].set(outer)
     rhs = rhs.at[inner].set(vals)
     u_star = problem.visc_solver.solve(rhs)
     if len(b.masters):
@@ -521,7 +528,7 @@ def _report_projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale):
 
     u_new = u_star - dt * problem.grad(p)
     final_div = problem.div(u_new)  # measured before the BC re-application
-    u_new = u_new.at[walls].set(0.0)
+    u_new = u_new.at[walls].set(outer)
     if len(b.masters):
         u_new = bc.apply_periodic_field(u_new, b.masters, b.slaves)
     u_new = u_new.at[inner].set(vals)
