@@ -90,6 +90,8 @@ def main(argv=None):
             s.add_argument("--b2", type=float, default=0.0)
             s.add_argument("--precision", default="f64", choices=["f64", "f32"])
             s.add_argument("--transport", default=None)
+    s = sub.add_parser("sweep")
+    _common(s)
     s = sub.add_parser("stam")
     s.add_argument("--frames", type=int, default=400)
     s.add_argument("--size", type=int, default=200)
@@ -182,6 +184,16 @@ def main(argv=None):
         f, maxf = ad.run(problem)
         _finish(args, "ad", None, metrics={"max_f": maxf}, mesh=mesh,
                 field=np.asarray(f))
+    elif args.cmd == "sweep":
+        from tpufem.workloads import sweep as sweep_mod
+
+        cfg = sweep_mod.SweepConfig()
+        if args.steps:
+            cfg = sweep_mod.SweepConfig(steps=args.steps)
+        res = sweep_mod.food_capture_sweep(mesh, cfg)
+        print(json.dumps({
+            "sweep": {str(b2): round(100 * r["consumed_fraction"], 1) for b2, r in res.items()}
+        }))
     elif args.cmd == "graph":
         from tpufem.workloads import graph_average
 
