@@ -64,6 +64,45 @@ def test_cg_stokes_run_tracks_dense(mesh1):
     assert abs(float(mc["mixing_var"][-1]) - float(md["mixing_var"][-1])) < 1e-3
 
 
+def test_banded_operator_matches_csr(mesh1):
+    from tpufem.ops import assembly
+    from tpufem.ops.banded import BandedOperator
+
+    K = assembly.assemble_csr(mesh1, assembly.element_stiffness(mesh1))
+    band = BandedOperator.build(K, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(mesh1.n_nodes))
+    np.testing.assert_allclose(
+        np.asarray(band.matvec(x)), np.asarray(K.matvec(x)), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(band.diag()), np.asarray(K.diag()), atol=1e-12
+    )
+    assert band.bandwidth < mesh1.n_nodes // 2  # RCM actually compresses
+
+
+def test_cg_banded_storage_matches_csr(mesh1):
+    csr = stokes.StokesProblem.build(
+        mesh1, stokes.StokesConfig(solver="cg", cg_storage="csr")
+    )
+    band = stokes.StokesProblem.build(
+        mesh1, stokes.StokesConfig(solver="cg", cg_storage="banded")
+    )
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal((mesh1.n_nodes, 2)))
+    np.testing.assert_allclose(
+        np.asarray(band.visc_solver.solve(b)),
+        np.asarray(csr.visc_solver.solve(b)),
+        atol=1e-9,
+    )
+    bp = jnp.asarray(rng.standard_normal(mesh1.n_nodes))
+    np.testing.assert_allclose(
+        np.asarray(band.pressure_solver.solve(bp)),
+        np.asarray(csr.pressure_solver.solve(bp)),
+        atol=1e-7,
+    )
+
+
 def test_cg_large_generated_mesh():
     """The scaling regime the reference cannot reach: ~6k-node annulus,
     matrix-free f32, no dense matrices materialized."""

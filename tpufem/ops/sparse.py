@@ -45,6 +45,13 @@ class CSROperator:
     def with_data(self, data: jnp.ndarray) -> "CSROperator":
         return dataclasses.replace(self, data=data)
 
+    def diag(self) -> jnp.ndarray:
+        rows = jnp.asarray(self.row_ids)
+        is_diag = rows == jnp.asarray(self.indices)
+        return jax.ops.segment_sum(
+            jnp.where(is_diag, self.data, 0.0), rows, num_segments=self.shape[0]
+        )
+
 
 def csr_matvec(op: CSROperator, x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x via gather + segment_sum (row ids are sorted ⇒ the

@@ -40,33 +40,29 @@ def _solve_columns(matvec, b, **kw):
 
 @dataclasses.dataclass(frozen=True)
 class ViscousCG:
-    K: CSROperator
+    K: object  # any operator exposing .matvec(x) and .diag(): CSROperator
+    # (gather/segment-sum) or ops.banded.BandedOperator (RCM shift-multiply,
+    # the TPU-fast storage)
     interior_mask: jnp.ndarray  # (N,) 1.0 interior / 0.0 dirichlet
     dt_nu: float
     iters: int
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         m = self.interior_mask
-        return m * (x + self.dt_nu * csr_matvec(self.K, m * x)) + (1.0 - m) * x
+        return m * (x + self.dt_nu * self.K.matvec(m * x)) + (1.0 - m) * x
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
-        diag = 1.0 + self.dt_nu * self._diag()
+        diag = 1.0 + self.dt_nu * self.K.diag()
         inv_diag = jnp.where(self.interior_mask > 0, 1.0 / diag, 1.0)
         return _solve_columns(
             self.matvec, b, iters=self.iters, precond=lambda r: inv_diag * r
         )
 
-    def _diag(self) -> jnp.ndarray:
-        rows = jnp.asarray(self.K.row_ids)
-        is_diag = rows == jnp.asarray(self.K.indices)
-        return jax.ops.segment_sum(
-            jnp.where(is_diag, self.K.data, 0.0), rows, num_segments=self.K.shape[0]
-        )
-
 
 @dataclasses.dataclass(frozen=True)
 class PressureCG:
-    K_merged: CSROperator  # stiffness on slave→master relabeled connectivity
+    K_merged: object  # stiffness on slave→master relabeled connectivity
+    # (CSROperator or BandedOperator — see ViscousCG.K)
     m_lumped: jnp.ndarray
     masters: np.ndarray
     slaves: np.ndarray
@@ -74,7 +70,7 @@ class PressureCG:
     iters: int
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        return csr_matvec(self.K_merged, x)
+        return self.K_merged.matvec(x)
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
         """Solve (K/M_L)-equivalent system: K_merged p = merge(M_L ∘ b)."""
@@ -84,7 +80,7 @@ class PressureCG:
             s = jnp.asarray(self.slaves)
             rhs = rhs.at[m].add(rhs[s])
             rhs = rhs * self.active_mask
-        diag = self._diag()
+        diag = self.K_merged.diag()
         inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
         p, _ = cg_fixed(
             self.matvec,
@@ -97,12 +93,3 @@ class PressureCG:
         if len(self.masters):
             p = p.at[jnp.asarray(self.slaves)].set(p[jnp.asarray(self.masters)])
         return p
-
-    def _diag(self) -> jnp.ndarray:
-        rows = jnp.asarray(self.K_merged.row_ids)
-        is_diag = rows == jnp.asarray(self.K_merged.indices)
-        return jax.ops.segment_sum(
-            jnp.where(is_diag, self.K_merged.data, 0.0),
-            rows,
-            num_segments=self.K_merged.shape[0],
-        )

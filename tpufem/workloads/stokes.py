@@ -65,6 +65,9 @@ class StokesConfig:
     # O(N) memory, the large-mesh path)
     cg_iters_visc: int = 60
     cg_iters_pressure: int = 300
+    cg_storage: str = "auto"  # "csr" (gather/segment-sum) | "banded"
+    # (RCM-reordered diagonal storage — gather-free, ~3.4× faster SpMV on
+    # TPU) | "auto" (banded on accelerators, csr on CPU)
     precision: str = "f64"  # "f64" (parity) | "f32" | "bf16" (device dtype;
     # all factorizations happen on host in f64 regardless)
     pressure_mode: str = "penalty"  # "penalty" (reference ±1e10, f64-only)
@@ -358,13 +361,23 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
     from tpufem.solve.matfree import PressureCG, ViscousCG
     from tpufem.solve.pressure import owner_map as pressure_owner_map
 
+    from tpufem.ops.banded import BandedOperator
+
+    storage = config.cg_storage
+    if storage == "auto":
+        storage = "banded" if jax.default_backend() != "cpu" else "csr"
+
+    def materialize(csr_op):
+        if storage == "banded":
+            return BandedOperator.build(csr_op, dtype=dtype)
+        return csr_op.with_data(csr_op.data.astype(dtype))
+
     ke = assembly.element_stiffness(mesh)
     K_csr = assembly.assemble_csr(mesh, ke)
-    K_csr = K_csr.with_data(K_csr.data.astype(dtype))
     interior_mask = np.ones(mesh.n_nodes)
     interior_mask[boundary.dirichlet] = 0.0
     visc = ViscousCG(
-        K=K_csr,
+        K=materialize(K_csr),
         interior_mask=jnp.asarray(interior_mask, dtype=dtype),
         dt_nu=config.dt * config.nu,
         iters=config.cg_iters_visc,
@@ -375,10 +388,9 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
     relabeled = owner[mesh.tris].astype(np.int32)
     mesh_merged = dc.replace(mesh, tris=relabeled)
     Km_csr = assembly.assemble_csr(mesh_merged, ke)
-    Km_csr = Km_csr.with_data(Km_csr.data.astype(dtype))
     active_mask = (owner == np.arange(mesh.n_nodes)).astype(np.float64)
     pressure = PressureCG(
-        K_merged=Km_csr,
+        K_merged=materialize(Km_csr),
         m_lumped=jnp.asarray(np.asarray(m_lumped), dtype=dtype),
         masters=boundary.masters,
         slaves=boundary.slaves,
