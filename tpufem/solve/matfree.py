@@ -25,17 +25,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpufem.ops.sparse import CSROperator, csr_matvec
 from tpufem.solve.cg import cg_fixed
 
 
 def _solve_columns(matvec, b, **kw):
-    """cg_fixed over a (N,) vector or each column of (N, k)."""
+    """Batched CG: one iteration stream drives all columns of b (N, k)
+    simultaneously (per-column step lengths), instead of k separate CG
+    runs — halves the SpMV count for the (uₓ, u_y) viscous solve."""
     if b.ndim == 1:
-        x, res = cg_fixed(matvec, b, **kw)
+        x, _ = cg_fixed(matvec, b, **kw)
         return x
-    cols = [cg_fixed(matvec, b[:, i], **kw)[0] for i in range(b.shape[1])]
-    return jnp.stack(cols, axis=1)
+    iters = kw.pop("iters")
+    precond = kw.pop("precond", None)
+    M = precond if precond is not None else (lambda r: r)
+
+    def colsum(a, c):
+        return jnp.sum(a * c, axis=0)  # (k,)
+
+    mv = lambda x: jax.vmap(matvec, in_axes=1, out_axes=1)(x)
+    x0 = jnp.zeros_like(b)
+    r0 = b - mv(x0)
+    z0 = M(r0)
+    rz0 = colsum(r0, z0)
+
+    def body(state, _):
+        x, r, p, rz = state
+        ap = mv(p)
+        denom = colsum(p, ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = M(r)
+        rz_new = colsum(r, z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, z0, rz0), None, length=iters)
+    return x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,9 +81,9 @@ class ViscousCG:
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
         diag = 1.0 + self.dt_nu * self.K.diag()
         inv_diag = jnp.where(self.interior_mask > 0, 1.0 / diag, 1.0)
-        return _solve_columns(
-            self.matvec, b, iters=self.iters, precond=lambda r: inv_diag * r
-        )
+        # (inv ∘ r) for both (N,) and (N,k) residuals
+        precond = lambda r: (inv_diag * r.T).T
+        return _solve_columns(self.matvec, b, iters=self.iters, precond=precond)
 
 
 @dataclasses.dataclass(frozen=True)
