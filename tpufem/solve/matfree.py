@@ -99,8 +99,11 @@ class PressureCG:
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.K_merged.matvec(x)
 
-    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
-        """Solve (K/M_L)-equivalent system: K_merged p = merge(M_L ∘ b)."""
+    def solve(self, b: jnp.ndarray, x0: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Solve (K/M_L)-equivalent system: K_merged p = merge(M_L ∘ b).
+
+        ``x0`` warm-starts CG (e.g. the previous timestep's pressure —
+        near steady state this slashes the iterations needed)."""
         rhs = self.m_lumped * b
         if len(self.masters):
             m = jnp.asarray(self.masters)
@@ -109,9 +112,12 @@ class PressureCG:
             rhs = rhs * self.active_mask
         diag = self.K_merged.diag()
         inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+        if x0 is not None:
+            x0 = x0 * self.active_mask
         p, _ = cg_fixed(
             self.matvec,
             rhs,
+            x0=x0,
             iters=self.iters,
             precond=lambda r: inv_diag * r,
             deflate=True,

@@ -68,6 +68,8 @@ class StokesConfig:
     cg_storage: str = "auto"  # "csr" (gather/segment-sum) | "banded"
     # (RCM-reordered diagonal storage — gather-free, ~3.4× faster SpMV on
     # TPU) | "auto" (banded on accelerators, csr on CPU)
+    cg_warm_start: bool = True  # warm-start pressure CG from the previous
+    # step's pressure (big iteration savings near steady state)
     precision: str = "f64"  # "f64" (parity) | "f32" | "bf16" (device dtype;
     # all factorizations happen on host in f64 regardless)
     pressure_mode: str = "penalty"  # "penalty" (reference ±1e10, f64-only)
@@ -490,6 +492,12 @@ def initial_state(problem: StokesProblem) -> dict:
     dtype = problem.dtype
     u = apply_field_bcs(problem, jnp.zeros((n, 2), dtype=dtype))
     state = {"u": u, "step": jnp.asarray(0, dtype=jnp.int32)}
+    from tpufem.solve.matfree import PressureCG
+
+    if cfg.cg_warm_start and isinstance(problem.pressure_solver, PressureCG):
+        # CG pressure solves warm-start from the previous step's solutions
+        state["p_warm"] = jnp.zeros(n, dtype=dtype)
+        state["p2_warm"] = jnp.zeros(n, dtype=dtype)
     if cfg.transport in _DYE_TRANSPORTS:
         # half-domain dye (StokesColor.py:493-495)
         c = jnp.where(jnp.asarray(problem.mesh.coords[:, 0]) < cfg.dye_threshold, 1.0, 0.0)
@@ -552,14 +560,18 @@ def _report_projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale):
     return u_new, p, metrics
 
 
-def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0):
-    """The double-projection Stokes update; returns (u, p, metrics)."""
+def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=None):
+    """The double-projection Stokes update → (u, p, metrics, warm_out).
+
+    ``warm`` = (p₁, p₂) from the previous step warm-starts the CG pressure
+    solves (no-op for dense solvers)."""
     cfg = problem.config
     mesh = problem.mesh
     dt = cfg.dt
 
     if cfg.variant == "report":
-        return _report_projection_step(problem, u, bc_scale)
+        u_new, p, metrics = _report_projection_step(problem, u, bc_scale)
+        return u_new, p, metrics, None
 
     if problem.fused_M is not None:
         n = mesh.n_nodes
@@ -586,7 +598,7 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0):
             "final_div_max": jnp.max(jnp.abs(final_div)),
             "max_u": jnp.max(jnp.abs(u_new)),
         }
-        return u_new, None, metrics
+        return u_new, None, metrics, None
 
     f = jnp.asarray(cfg.body_force, dtype=u.dtype)
 
@@ -597,16 +609,23 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0):
 
     # 2. pressure correction
     div_star = problem.div(u_star)
-    p = problem.pressure_solver.solve(-div_star / dt)
+    if warm is not None:
+        p = problem.pressure_solver.solve(-div_star / dt, x0=warm[0])
+    else:
+        p = problem.pressure_solver.solve(-div_star / dt)
 
     # 3. velocity update
     u_new = u_star - dt * problem.grad(p)
     u_new = apply_field_bcs(problem, u_new, bc_scale)
 
     # 4. second projection, interior only (StokesColor.py:566-573)
+    p2 = None
     if cfg.double_projection:
         div_u = problem.div(u_new)
-        p2 = problem.pressure_solver.solve(-div_u / dt)
+        if warm is not None:
+            p2 = problem.pressure_solver.solve(-div_u / dt, x0=warm[1])
+        else:
+            p2 = problem.pressure_solver.solve(-div_u / dt)
         g2 = problem.grad(p2)
         interior = jnp.asarray(problem.boundary.interior)
         u_new = u_new.at[interior].add(-dt * g2[interior])
@@ -617,7 +636,8 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0):
         "final_div_max": jnp.max(jnp.abs(final_div)),
         "max_u": jnp.max(jnp.abs(u_new)),
     }
-    return u_new, p, metrics
+    warm_out = (p, p2 if p2 is not None else p) if warm is not None else None
+    return u_new, p, metrics, warm_out
 
 
 def eulerian_dye_step(problem: StokesProblem, c: jnp.ndarray, u: jnp.ndarray):
@@ -690,8 +710,16 @@ def make_step(problem: StokesProblem, var0=None):
             )
         else:
             ramp = 1.0
-        u, p, metrics = projection_step(problem, state["u"], bc_scale=ramp)
+        warm = (
+            (state["p_warm"], state["p2_warm"]) if "p_warm" in state else None
+        )
+        u, p, metrics, warm_out = projection_step(
+            problem, state["u"], bc_scale=ramp, warm=warm
+        )
         new_state = {"u": u, "step": state["step"] + 1}
+        if warm_out is not None:
+            new_state["p_warm"] = warm_out[0]
+            new_state["p2_warm"] = warm_out[1]
 
         if cfg.transport in _DYE_TRANSPORTS:
             if cfg.transport == "dye":
