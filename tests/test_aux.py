@@ -51,6 +51,28 @@ def test_checkpointed_run(mesh1, dye_problem, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_orbax_checkpoint_roundtrip(dye_problem, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    state, _ = stokes.run(dye_problem, steps=3)
+    state = {k: v for k, v in state.items()}
+    path = checkpoint.save_orbax(str(tmp_path / "orbax_ckpt"), state)
+    loaded = checkpoint.load_orbax(path, state)
+    np.testing.assert_array_equal(np.asarray(loaded["u"]), np.asarray(state["u"]))
+
+
+def test_resumed_mixing_progress_consistent(mesh1, dye_problem):
+    """Chunked/resumed runs report the same mixing-progress series as a
+    straight run (canonical var₀ baseline)."""
+    _, m_straight = stokes.run(dye_problem, steps=10)
+    st5, m1 = stokes.run(dye_problem, steps=5)
+    _, m2 = stokes.run(dye_problem, steps=5, state=st5)
+    np.testing.assert_allclose(
+        np.asarray(m2["mixing_progress"]),
+        np.asarray(m_straight["mixing_progress"])[5:],
+        atol=1e-12,
+    )
+
+
 def test_metrics_jsonl_csv(dye_problem, tmp_path):
     _, m = stokes.run(dye_problem, steps=5)
     p1 = tmetrics.write_jsonl(str(tmp_path / "m.jsonl"), m)

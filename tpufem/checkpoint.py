@@ -7,7 +7,8 @@ save every K steps, reload, continue — the resumed trajectory is
 bit-identical to an uninterrupted run (tested in tests/test_aux.py).
 
 Format: ``.npz`` with flattened key paths (portable, no extra deps);
-``save_orbax``/``load_orbax`` are provided when orbax is available.
+:func:`save_orbax`/:func:`load_orbax` wrap orbax-checkpoint for users who
+want its async/versioned machinery.
 """
 
 from __future__ import annotations
@@ -58,6 +59,24 @@ def load_state(path: str, dtype=None):
             arr = arr.astype(dtype)
         d[parts[-1]] = jnp.asarray(arr)
     return state, step
+
+
+def save_orbax(directory: str, state: dict) -> str:
+    """Checkpoint via orbax (versioned / async-capable backend)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_orbax(directory: str, template: dict | None = None) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(directory), template)
 
 
 def checkpointed_run(problem, total_steps: int, every: int, directory: str,

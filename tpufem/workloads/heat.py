@@ -109,16 +109,27 @@ def make_step(problem: HeatProblem):
     return step
 
 
+_RUN_CACHE: dict = {}
+
+
 def run(mesh: Mesh, config: HeatConfig = HeatConfig(), steps: int | None = None):
     """Run the full heat simulation; returns (u_final, per-step max|u|)."""
     problem = HeatProblem.build(mesh, config)
     u0 = initial_state(problem, mesh.n_nodes)
-    step = make_step(problem)
     n_steps = steps if steps is not None else config.steps
 
-    @jax.jit
-    def scan_all(u0):
-        return jax.lax.scan(step, u0, None, length=n_steps)
+    key = (id(problem), n_steps)
+    hit = _RUN_CACHE.get(key)
+    if hit is not None and hit[0] is problem:
+        scan_all = hit[1]
+    else:
+        step = make_step(problem)
+
+        @jax.jit
+        def scan_all(u0):
+            return jax.lax.scan(step, u0, None, length=n_steps)
+
+        _RUN_CACHE[key] = (problem, scan_all)
 
     u, maxu = scan_all(u0)
     return u, maxu

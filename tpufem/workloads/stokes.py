@@ -817,8 +817,11 @@ def run(problem: StokesProblem, steps: int | None = None, state: dict | None = N
 
         _RUN_CACHE[key] = (problem, scan_all)
 
-    var0 = dye_baseline(problem, state) if cfg.transport in _DYE_TRANSPORTS else None
     out_state, metrics = scan_all(state)
     if cfg.transport in _DYE_TRANSPORTS:
+        # baseline variance is the *canonical* initial dye pattern's, so
+        # chunked/resumed runs report the same progress series as a
+        # straight run (the reference's var₀, StokesColor.py:496-497)
+        var0 = dye_baseline(problem, initial_state(problem))
         metrics["mixing_progress"] = 1.0 - metrics["mixing_var"] / (var0 + 1e-16)
     return out_state, metrics
