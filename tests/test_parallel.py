@@ -53,6 +53,38 @@ def test_sharded_step_matches_single_device(mesh1, dmesh):
     assert np.isfinite(np.asarray(final_div2)).all()
 
 
+def test_sharded_tracer_ensemble_matches_single(mesh1, dmesh):
+    """Sharded food-capture ensemble ≡ per-gait single-device runs."""
+    b1s = np.full(4, -2.0)
+    b2s = np.array([0.0, -5.0, 5.0, 2.0])
+    cfg = stokes.StokesConfig(
+        dt=0.01, nu=1.0, transport="tracers", tracer_density=12,
+        solver="inverse", pressure_mode="merge",
+    )
+    ens = ShardedEnsemble.build(mesh1, dmesh, b1s, b2s, config=cfg)
+    step = make_sharded_step(ens)
+    state = ens.initial_state()
+    for _ in range(3):
+        state, eaten = step(state)
+
+    for i, b2 in enumerate(b2s):
+        c1 = stokes.StokesConfig(
+            dt=0.01, nu=1.0, B1=-2.0, B2=b2, transport="tracers",
+            tracer_density=12, solver="inverse", pressure_mode="merge",
+        )
+        prob = stokes.StokesProblem.build(mesh1, c1)
+        st = stokes.initial_state(prob)
+        step_fn = stokes.make_step(prob)
+        for _ in range(3):
+            st, m = step_fn(st, None)
+        np.testing.assert_allclose(
+            np.asarray(state["tracers"][i]), np.asarray(st["tracers"]), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state["tracer_status"][i]), np.asarray(st["tracer_status"])
+        )
+
+
 def test_distributed_cg_matches_single_device(mesh1):
     """8-way space-sharded CG (all_gather SpMV + psum dots) reproduces the
     single-device matrix-free viscous solve."""

@@ -104,6 +104,11 @@ class ShardedEnsemble:
             n_pad=visc_inv.shape[0],
         )
 
+    @property
+    def transport(self) -> str:
+        t = self.problem.config.transport
+        return t if t in ("dye", "tracers") else "dye"
+
     def initial_state(self) -> dict:
         b = self.inner_values.shape[0]
         n = self.problem.mesh.n_nodes
@@ -113,12 +118,21 @@ class ShardedEnsemble:
         u = jax.vmap(lambda uu, vv: _apply_bcs_batched(problem, uu, vv))(
             u, self.inner_values
         )
-        c = jnp.where(
-            jnp.asarray(self.problem.mesh.coords[:, 0]) < self.problem.config.dye_threshold,
-            1.0,
-            0.0,
-        ).astype(dtype)
-        return {"u": u, "c": jnp.tile(c[None], (b, 1))}
+        state = {"u": u}
+        if self.transport == "tracers":
+            pts = jnp.asarray(problem.tracer_init, dtype=dtype)
+            state["tracers"] = jnp.tile(pts[None], (b, 1, 1))
+            state["tracer_status"] = jnp.zeros(
+                (b, pts.shape[0]), dtype=jnp.int32
+            )
+        else:
+            c = jnp.where(
+                jnp.asarray(problem.mesh.coords[:, 0]) < problem.config.dye_threshold,
+                1.0,
+                0.0,
+            ).astype(dtype)
+            state["c"] = jnp.tile(c[None], (b, 1))
+        return state
 
 
 def _apply_bcs_batched(problem, u, inner_vals):
@@ -235,29 +249,53 @@ def make_sharded_step(ensemble: ShardedEnsemble):
             )
         )(c, u)
 
+    def tracers_step(pts, status, u):
+        new_pts = jax.vmap(
+            lambda pi, ui: transport.tracer_step(
+                mesh, problem.locator, pi, ui, dt, L=cfg.L, method=cfg.tracer_method
+            )
+        )(pts, u)
+        new_status = jax.vmap(
+            lambda pi, si: transport.capture_update(
+                pi, si, cfg.center, cfg.capture_radius
+            )
+        )(new_pts, status)
+        return new_pts, new_status
+
+    uses_tracers = ensemble.transport == "tracers"
+    state_spec = (
+        {"u": P("data"), "tracers": P("data"), "tracer_status": P("data")}
+        if uses_tracers
+        else {"u": P("data"), "c": P("data")}
+    )
+
     @partial(
         shard_map,
         mesh=dmesh,
-        in_specs=(
-            {"u": P("data"), "c": P("data")},
-            P("space", None),
-            P("space", None),
-            P("data"),
-        ),
-        out_specs=({"u": P("data"), "c": P("data")}, P("data")),
+        in_specs=(state_spec, P("space", None), P("space", None), P("data")),
+        out_specs=(state_spec, P("data")),
         check_vma=False,
     )
     def step(state, visc_inv_rows, press_inv_rows, inner_vals):
-        u, c = state["u"], state["c"]
+        u = state["u"]
         u_star = apply_bcs(matvec(visc_inv_rows, u), inner_vals)
         p = matvec(press_inv_rows, -div(u_star) / dt)
         u_new = apply_bcs(u_star - dt * grad(p), inner_vals)
         p2 = matvec(press_inv_rows, -div(u_new) / dt)
         g2 = grad(p2)
         u_new = u_new.at[:, interior].add(-dt * g2[:, interior])
-        c_new = advect(c, u_new)
-        final_div = jnp.max(jnp.abs(div(u_new)), axis=1)  # (B_local,)
-        return {"u": u_new, "c": c_new}, final_div
+        new_state = {"u": u_new}
+        if uses_tracers:
+            new_state["tracers"], new_state["tracer_status"] = tracers_step(
+                state["tracers"], state["tracer_status"], u_new
+            )
+            per_sim = jnp.sum(new_state["tracer_status"], axis=1).astype(
+                u_new.dtype
+            )  # eaten count per sim
+        else:
+            new_state["c"] = advect(state["c"], u_new)
+            per_sim = jnp.max(jnp.abs(div(u_new)), axis=1)
+        return new_state, per_sim
 
     @jax.jit
     def jitted(state):
