@@ -78,12 +78,16 @@ class GridLocator:
     """Uniform-grid binned locator with static padded candidate lists.
 
     Host-side precompute: each cell of a G×G grid over the bounding box
-    stores the triangles whose bbox overlaps it (padded with -1).  Device
-    query: cell id → gather candidates → containment tests.  O(P·C_max).
+    stores the triangles whose exact overlap (separating-axis test) hits
+    it (padded with -1), plus the candidates' corner coordinates packed
+    *per cell* — the hot query is then two contiguous row gathers
+    (cell → candidate ids, cell → candidate coords) instead of a nested
+    random gather per candidate.  O(P·C_max).
     """
 
     mesh: Mesh
     cells: np.ndarray  # (G*G, C_max) int32, -1 padded
+    cell_xy: np.ndarray  # (G*G, C_max, 3, 2) packed candidate corners
     origin: tuple[float, float]
     extent: tuple[float, float]
     g: int
@@ -113,7 +117,13 @@ class GridLocator:
         cells = np.full((g * g, cmax), -1, dtype=np.int32)
         for i, b in enumerate(buckets):
             cells[i, : len(b)] = b
-        return cls(mesh=mesh, cells=cells, origin=tuple(lo), extent=tuple(extent), g=g)
+        cell_xy = np.zeros((g * g, cmax, 3, 2))
+        valid = cells >= 0
+        cell_xy[valid] = pc[cells[valid]]
+        return cls(
+            mesh=mesh, cells=cells, cell_xy=cell_xy,
+            origin=tuple(lo), extent=tuple(extent), g=g,
+        )
 
     def find(self, points: jnp.ndarray, return_weights: bool = False):
         lo = jnp.asarray(self.origin, dtype=points.dtype)
@@ -122,8 +132,9 @@ class GridLocator:
             ((points - lo) / extent * self.g).astype(jnp.int32), 0, self.g - 1
         )
         cell = ij[:, 0] * self.g + ij[:, 1]
-        cand = jnp.asarray(self.cells)[cell]  # (P, C_max)
-        return _first_containing(self.mesh, cand, points, return_weights)
+        cand = jnp.asarray(self.cells)[cell]  # (P, C_max) — row gather
+        tri_xy = jnp.asarray(self.cell_xy, dtype=points.dtype)[cell]  # row gather
+        return _first_containing(self.mesh, cand, points, return_weights, tri_xy)
 
 
 def _tri_aabb_overlap(tri: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> bool:
@@ -155,14 +166,16 @@ def _tri_xy_table(mesh: Mesh) -> np.ndarray:
 
 
 def _first_containing(mesh: Mesh, cand: jnp.ndarray, points: jnp.ndarray,
-                      return_weights: bool = False):
+                      return_weights: bool = False, tri_xy=None):
     """Among per-point candidate triangle lists, pick the first containing
     triangle (w ≥ 0 on all corners, |det| ≥ 1e-14), like the reference.
     ``return_weights=True`` also returns the winning barycentric weights
     (already computed during the containment test — saves the hot path a
-    second gather + recompute)."""
+    second gather + recompute).  ``tri_xy`` may supply pre-gathered
+    candidate corners (P,k,3,2)."""
     safe_cand = jnp.maximum(cand, 0)
-    tri_xy = jnp.asarray(_tri_xy_table(mesh), dtype=points.dtype)[safe_cand]  # (P,k,3,2)
+    if tri_xy is None:
+        tri_xy = jnp.asarray(_tri_xy_table(mesh), dtype=points.dtype)[safe_cand]
     w, det = _barycentric(tri_xy, points[:, None, :])
     inside = jnp.all(w >= 0.0, axis=-1) & (jnp.abs(det) >= _DEG_TOL) & (cand >= 0)
     first = jnp.argmax(inside, axis=1)  # first True (or 0 if none)
