@@ -93,7 +93,15 @@ def run_baseline(mesh, steps=BASELINE_STEPS):
 
 def main():
     mesh = _bench_mesh()
-    ours, n_tracers, metrics = run_tpufem(mesh)
+    try:
+        ours, n_tracers, metrics = run_tpufem(mesh)
+    except Exception:
+        # the tunneled TPU compiler occasionally drops a first compile —
+        # one clean retry
+        import traceback
+
+        traceback.print_exc()
+        ours, n_tracers, metrics = run_tpufem(mesh)
     baseline = run_baseline(mesh)
     print(
         json.dumps(
