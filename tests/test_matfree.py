@@ -103,6 +103,48 @@ def test_cg_banded_storage_matches_csr(mesh1):
     )
 
 
+def test_matrix_free_mass_and_convection_apply(mesh1):
+    from tpufem.ops import assembly, calculus
+
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.standard_normal(mesh1.n_nodes))
+    u = jnp.asarray(rng.standard_normal((mesh1.n_nodes, 2)))
+    M = assembly.assemble_dense(mesh1, assembly.element_mass(mesh1))
+    C = assembly.assemble_dense(mesh1, assembly.element_convection(mesh1, u))
+    np.testing.assert_allclose(
+        np.asarray(calculus.mass_apply(mesh1, c)), np.asarray(M @ c), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(calculus.convection_apply(mesh1, u, c)), np.asarray(C @ c),
+        atol=1e-12,
+    )
+
+
+def test_cg_eulerian_dye_tracks_dense(mesh1):
+    """Matrix-free BiCGStab Eulerian dye ≈ the dense merged-path dye."""
+    dense = stokes.StokesProblem.build(
+        mesh1,
+        stokes.StokesConfig(
+            transport="eulerian_dye", precision="f32", pressure_mode="merge",
+            solver="inverse",
+        ),
+    )
+    mf = stokes.StokesProblem.build(
+        mesh1,
+        stokes.StokesConfig(
+            transport="eulerian_dye", solver="cg", precision="f32",
+            cg_iters_visc=80, cg_iters_pressure=400, cg_iters_dye=60,
+        ),
+    )
+    sd, md = stokes.run(dense, steps=10)
+    sm, mm = stokes.run(mf, steps=10)
+    cd, cm = np.asarray(sd["c"]), np.asarray(sm["c"])
+    assert np.isfinite(cm).all()
+    assert cm.min() >= 0.0 and cm.max() <= 1.0
+    err = np.linalg.norm(cm - cd) / np.linalg.norm(cd)
+    assert err < 0.02, err
+
+
 def test_cg_large_generated_mesh():
     """The scaling regime the reference cannot reach: ~6k-node annulus,
     matrix-free f32, no dense matrices materialized."""

@@ -127,6 +127,41 @@ def gradient_matrices(mesh: Mesh):
     # the exact same per-dof coefficients.
 
 
+def mass_apply(mesh: Mesh, c: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-free consistent-mass product M @ c (O(T), no matrix).
+
+    Per element, (M^e c)_i = (A/12)(2c_i + c_j + c_k) — the same local
+    mass as ``assembly.element_mass``."""
+    area = jnp.asarray(mesh.area, dtype=c.dtype)
+    valid = jnp.asarray(mesh.valid, dtype=c.dtype)
+    c_loc = c[mesh.tris]  # (T,3)
+    tot = c_loc.sum(axis=1, keepdims=True)
+    contrib = (valid * area / 12.0)[:, None] * (tot + c_loc)
+    return jax.ops.segment_sum(
+        contrib.reshape(-1), jnp.asarray(mesh.tris).reshape(-1),
+        num_segments=mesh.n_nodes,
+    )
+
+
+def convection_apply(mesh: Mesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-free convection product C(u) @ c (StokesColor scaling).
+
+    (C c)_i = Σ_{e∋i} (A_e/3) · ū_e · (Σ_j ∇̃φ_j c_j), ∇̃ = diffs/(2|det|)."""
+    dtype = c.dtype
+    grads = jnp.asarray(mesh.grads, dtype=dtype)  # diffs/det (signed)
+    det = jnp.asarray(mesh.det, dtype=dtype)
+    area = jnp.asarray(mesh.area, dtype=dtype)
+    valid = jnp.asarray(mesh.valid, dtype=dtype)
+    scale = det / (2.0 * jnp.abs(det))  # grads → diffs/(2|det|)
+    u_c = u[mesh.tris].mean(axis=1)  # (T,2)
+    gradc = jnp.einsum("ti,tid->td", c[mesh.tris], grads * scale[:, None, None])
+    val = valid * (area / 3.0) * jnp.einsum("td,td->t", u_c, gradc)  # (T,)
+    contrib = jnp.broadcast_to(val[:, None], (mesh.n_tris, 3)).reshape(-1)
+    return jax.ops.segment_sum(
+        contrib, jnp.asarray(mesh.tris).reshape(-1), num_segments=mesh.n_nodes
+    )
+
+
 def consistent_divergence_rhs(mesh: Mesh, u: jnp.ndarray) -> jnp.ndarray:
     """(N,) consistent pressure RHS: b_i = −∫ ∇φ_i · ū dV, element-avg ū.
 

@@ -125,3 +125,49 @@ def jacobi_pcg(matvec, diag, b, **kwargs):
     """CG preconditioned with the operator diagonal."""
     inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
     return cg(matvec, b, precond=lambda r: inv_diag * r, **kwargs)
+
+
+def bicgstab_fixed(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    *,
+    iters: int = 100,
+    precond: Callable | None = None,
+):
+    """BiCGStab with a static iteration count (scan-friendly) for
+    NON-symmetric systems (per-step advection operators).  Right-
+    preconditioned; returns (x, residual_norm)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else (lambda r: r)
+
+    r0 = b - matvec(x0)
+    rhat = r0
+
+    def body(state, _):
+        x, r, p, v, rho, alpha, omega = state
+        rho_new = jnp.vdot(rhat, r)
+        beta = jnp.where(
+            (rho != 0) & (omega != 0), (rho_new / rho) * (alpha / omega), 0.0
+        )
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = matvec(phat)
+        denom = jnp.vdot(rhat, v)
+        alpha = jnp.where(denom != 0, rho_new / denom, 0.0)
+        s = r - alpha * v
+        shat = M(s)
+        t = matvec(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.where(tt != 0, jnp.vdot(t, s) / tt, 0.0)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega), None
+
+    zeros = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, dtype=b.dtype)
+    (x, r, *_), _ = jax.lax.scan(
+        body, (x0, r0, zeros, zeros, one, one, one), None, length=iters
+    )
+    return x, jnp.linalg.norm(r)

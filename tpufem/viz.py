@@ -193,7 +193,10 @@ def run_with_frames(problem, steps: int, frame_interval: int, field: str = "c"):
     chunks — the decoupled version of the reference's in-loop frame lists
     (good_visualization2.py:574-577,724-726).
 
-    Returns (final_state, stacked_metrics_list, frames).
+    ``field`` may be any state key ("c", "u", "tracers", "tracer_status");
+    for the food workload pass "tracers" and render with
+    :func:`tracer_frame`.  Returns (final_state, stacked_metrics_list,
+    frames).
     """
     from tpufem.workloads import stokes
 

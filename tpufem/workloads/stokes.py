@@ -65,6 +65,8 @@ class StokesConfig:
     # O(N) memory, the large-mesh path)
     cg_iters_visc: int = 60
     cg_iters_pressure: int = 300
+    cg_iters_dye: int = 40  # BiCGStab iterations for matrix-free
+    # Eulerian dye (the system is mass-dominated — converges fast)
     cg_storage: str = "auto"  # "csr" (gather/segment-sum) | "banded"
     # (RCM-reordered diagonal storage — gather-free, ~3.4× faster SpMV on
     # TPU) | "auto" (banded on accelerators, csr on CPU)
@@ -162,9 +164,9 @@ class StokesProblem:
 
     @classmethod
     def _build_matfree(cls, mesh, config, boundary, m_lumped, dtype):
-        assert config.transport in ("none", "dye", "tracers"), (
-            "eulerian_dye / dye_griddata need the dense regime (per-step "
-            "dense solves); use solver='lu'/'inverse'"
+        assert config.transport in ("none", "dye", "tracers", "eulerian_dye"), (
+            "dye_griddata needs the dense regime (its explicit diffusion "
+            "uses the dense stiffness); use solver='lu'/'inverse'"
         )
         assert not config.fused, "fused and cg are mutually exclusive"
         visc, pressure = _build_matfree_problem_fields(
@@ -657,6 +659,9 @@ def eulerian_dye_step(problem: StokesProblem, c: jnp.ndarray, u: jnp.ndarray):
     cfg = problem.config
     b = problem.boundary
     dt = cfg.dt
+    if problem.eul_M is None:
+        # matrix-free large-mesh regime (solver="cg")
+        return _eulerian_dye_step_matfree(problem, c, u)
     C = assembly.assemble_dense(mesh=problem.mesh, elem=assembly.element_convection(problem.mesh, u))
     divu = problem.div(u)
     g = dt * (problem.m_lumped * divu)
@@ -673,6 +678,64 @@ def eulerian_dye_step(problem: StokesProblem, c: jnp.ndarray, u: jnp.ndarray):
         c_new = mg @ jnp.linalg.solve(mg.T @ A_c @ mg, mg.T @ rhs)
     c_new = jnp.clip(c_new, 0.0, 1.0)
     if len(b.masters):
+        c_new = bc.apply_periodic_field(c_new, b.masters, b.slaves)
+    return c_new
+
+
+def _eulerian_dye_step_matfree(problem: StokesProblem, c: jnp.ndarray, u: jnp.ndarray):
+    """Eulerian implicit dye for the matrix-free regime: the per-step
+    nonsymmetric system (M + Δt(C(u) + D K) + diag) is solved with
+    Jacobi-preconditioned BiCGStab over matrix-free applies (O(T) per
+    iteration) in the merged-periodic space — no dense matrix ever exists.
+    Same scheme as the dense :func:`eulerian_dye_step` (weak-merged
+    periodicity instead of ±1e10 penalty)."""
+    from tpufem.solve.cg import bicgstab_fixed
+
+    cfg = problem.config
+    b = problem.boundary
+    mesh = problem.mesh
+    dt = cfg.dt
+    has_per = len(b.masters) > 0
+    m = jnp.asarray(b.masters)
+    s = jnp.asarray(b.slaves)
+    active = problem.pressure_solver.active_mask.astype(c.dtype)
+    K = problem.visc_solver.K  # the stiffness operator
+
+    divu = problem.div(u)
+    g = dt * (problem.m_lumped * divu)
+    if has_per:
+        g = g.at[s].set(g[m])
+
+    def spread(x):
+        return x.at[s].set(x[m]) if has_per else x
+
+    def fold(z):
+        if has_per:
+            z = z.at[m].add(z[s])
+            z = z * active
+        return z
+
+    def A(x):
+        xf = spread(x)
+        z = (
+            calculus.mass_apply(mesh, xf)
+            + dt * (calculus.convection_apply(mesh, u, xf) + cfg.D * K.matvec(xf))
+            + g * xf
+        )
+        return fold(z)
+
+    rhs = fold(calculus.mass_apply(mesh, c))
+    md = problem.m_lumped
+    if has_per:
+        md = md.at[m].add(md[s])
+    inv_diag = jnp.where(active > 0, 1.0 / (md + g), 1.0)
+    x0 = c * active if has_per else c
+    c_new, _ = bicgstab_fixed(
+        A, rhs, x0=x0, iters=cfg.cg_iters_dye, precond=lambda r: inv_diag * r
+    )
+    c_new = spread(c_new)
+    c_new = jnp.clip(c_new, 0.0, 1.0)
+    if has_per:
         c_new = bc.apply_periodic_field(c_new, b.masters, b.slaves)
     return c_new
 
