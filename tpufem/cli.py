@@ -77,8 +77,6 @@ def _finish(args, name, state_or_field, metrics=None, mesh=None, field=None):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="tpufem")
-    parser.add_argument("--f64", action="store_true", default=True,
-                        help="enable float64 (default)")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     for name in ("poisson", "heat", "stokes", "food", "report", "ns",

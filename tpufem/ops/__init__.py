@@ -14,8 +14,13 @@ from tpufem.ops.calculus import (
     gradient,
     vorticity,
     consistent_divergence_rhs,
+    divergence_matrices,
+    gradient_matrices,
+    mass_apply,
+    convection_apply,
 )
 from tpufem.ops.sparse import CSROperator, csr_matvec
+from tpufem.ops.banded import BandedOperator
 
 __all__ = [
     "element_stiffness",
@@ -31,6 +36,11 @@ __all__ = [
     "gradient",
     "vorticity",
     "consistent_divergence_rhs",
+    "divergence_matrices",
+    "gradient_matrices",
+    "mass_apply",
+    "convection_apply",
     "CSROperator",
     "csr_matvec",
+    "BandedOperator",
 ]

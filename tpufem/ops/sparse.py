@@ -1,9 +1,11 @@
-"""Static-shape sparse operators (CSR / padded-ELL) and their matvecs.
+"""Static-shape CSR operators and their segment-sum matvec.
 
 The matrix-free path for meshes too large for dense MXU solves, and the
 building block for the sharded multi-chip CG.  Shapes are static: the
 sparsity pattern is computed once on the host, so the jitted matvec is a
-gather → multiply → segment-sum with fixed sizes.
+gather → multiply → segment-sum with fixed sizes.  On TPU prefer
+``ops.banded.BandedOperator`` (RCM diagonals, gather-free) — CSR is the
+CPU-friendly and sharding-friendly (row-slab) form.
 """
 
 from __future__ import annotations
