@@ -48,6 +48,37 @@ def test_monolithic_divergence_small(mesh1):
     assert np.abs(div[interior]).mean() < 0.5
 
 
+def test_taylor_hood_stable_and_exact():
+    """P2/P1 Taylor–Hood on mesh2.2 — the LBB-stable coupled solve the
+    reference's P2 mesh was for.  Unlike the P1/P1 system (rank-deficient,
+    see MonolithicConfig), this one solves exactly."""
+    from tpufem import config as tcfg
+    import tpufem
+
+    stem = tcfg.reference_mesh_path("mesh2.2")
+    if stem is None:
+        pytest.skip("mesh2.2 not available")
+    mesh = tpufem.load_mesh(stem)
+    u, p, res = ns.solve_taylor_hood(mesh)
+    assert float(res) < 1e-10  # nonsingular: LU solves it exactly
+    u = np.asarray(u)
+    assert np.isfinite(u).all() and np.isfinite(np.asarray(p)).all()
+    # squirmer BC exact on the inner boundary (including midside nodes)
+    from tpufem import bc as bc_mod
+
+    inner = np.nonzero(mesh.markers == 2)[0]
+    vals = bc_mod.squirmer_values(mesh.coords, inner)
+    np.testing.assert_allclose(u[inner], vals, atol=1e-12)
+    # no-slip outer
+    np.testing.assert_allclose(u[mesh.markers == 1], 0.0, atol=1e-12)
+    # weak incompressibility enforced: P1-projected divergence is small
+    from tpufem.ops import calculus
+
+    div = np.asarray(calculus.divergence(mesh, jnp.asarray(u)))
+    interior = mesh.markers == 0
+    assert np.abs(div[interior]).mean() < 0.1
+
+
 def test_ns_projection_channel_flow(mesh1):
     """Driven channel (body force 0.1 in x): flow develops in +x, stays
     finite, no-slip on all walls (operator_spitting_ns.py config)."""

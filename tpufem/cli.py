@@ -80,7 +80,7 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     for name in ("poisson", "heat", "stokes", "food", "report", "ns",
-                 "monolithic", "ad", "graph"):
+                 "monolithic", "taylorhood", "ad", "graph"):
         s = sub.add_parser(name)
         _common(s)
         if name in ("stokes", "food"):
@@ -175,6 +175,14 @@ def main(argv=None):
         print(json.dumps({"monolithic": {"residual": float(res),
                                          "max_u": float(np.abs(np.asarray(u)).max())}}))
         _finish(args, "monolithic", None, mesh=mesh, field=np.asarray(p))
+    elif args.cmd == "taylorhood":
+        from tpufem.workloads import navier_stokes as ns
+
+        u, p, res = ns.solve_taylor_hood(mesh)
+        print(json.dumps({"taylorhood": {"residual": float(res),
+                                         "max_u": float(np.abs(np.asarray(u)).max())}}))
+        _finish(args, "taylorhood", None, mesh=mesh,
+                field=np.linalg.norm(np.asarray(u), axis=1))
     elif args.cmd == "ad":
         from tpufem.workloads import advection_diffusion as ad
 

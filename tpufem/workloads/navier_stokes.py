@@ -135,6 +135,127 @@ def solve_monolithic(mesh: Mesh, config: MonolithicConfig = MonolithicConfig()):
 
 
 # ---------------------------------------------------------------------------
+# P2/P1 Taylor–Hood monolithic Stokes (LBB-stable)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TaylorHoodConfig:
+    nu: float = 1.0
+    B1: float = -2.0  # squirmer gait (proper center-relative form)
+    B2: float = 0.0
+    center: tuple[float, float] = (0.5, 0.5)
+    outer_marker: int = 1
+    inner_marker: int = 2
+
+
+def _p2_quadrature():
+    """3-midpoint rule — exact for degree-2 integrands on a triangle."""
+    pts = np.array([[0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.5, 0.0, 0.5]])
+    w = np.full(3, 1.0 / 3.0)
+    return pts, w
+
+
+def _p2_grads_at(L: np.ndarray, gl: np.ndarray) -> np.ndarray:
+    """∇φ_a at barycentric point L for one element.
+
+    gl: (3, 2) gradients of the barycentric (P1) functions; Triangle's P2
+    node order: corners 1-3, then midpoints opposite each corner.
+    Returns (6, 2)."""
+    g = np.zeros((6, 2))
+    for i in range(3):
+        g[i] = (4.0 * L[i] - 1.0) * gl[i]
+    # midpoint opposite corner i is on the edge of the other two corners
+    pairs = [(1, 2), (2, 0), (0, 1)]
+    for k, (a, b) in enumerate(pairs):
+        g[3 + k] = 4.0 * (L[a] * gl[b] + L[b] * gl[a])
+    return g
+
+
+def assemble_taylor_hood(mesh: Mesh, config: TaylorHoodConfig = TaylorHoodConfig()):
+    """(A, b, p_nodes) of the P2-velocity / P1-pressure saddle system.
+
+    The reference bought a P2 mesh (mesh2.2) for its monolithic solver but
+    read it with the P1 reader, orphaning the midside nodes and leaving an
+    unstable P1/P1 pair (see assemble_monolithic).  This is the solver
+    that mesh was for: LBB-stable, uniquely solvable after pinning one
+    pressure dof.  DOF layout [uₓ (N2); u_y (N2); p (N1 corner nodes)].
+    """
+    assert mesh.tris_p2 is not None, "Taylor–Hood needs a 6-node (P2) mesh"
+    tris6 = mesh.tris_p2
+    n2 = mesh.coords.shape[0]
+    corners = np.unique(tris6[:, :3])
+    p_of_node = -np.ones(n2, dtype=np.int64)
+    p_of_node[corners] = np.arange(len(corners))
+    n1 = len(corners)
+    total = 2 * n2 + n1
+
+    pts, wq = _p2_quadrature()
+    A = np.zeros((total, total))
+    nu = config.nu
+    for t in range(tris6.shape[0]):
+        nodes6 = tris6[t]
+        gl = mesh.grads[t]  # (3,2) barycentric gradients
+        area = mesh.area[t]
+        ke = np.zeros((6, 6))
+        be_x = np.zeros((3, 6))
+        be_y = np.zeros((3, 6))
+        for q in range(3):
+            g6 = _p2_grads_at(pts[q], gl)  # (6,2)
+            ke += (wq[q] * area) * (g6 @ g6.T)
+            psi = pts[q]  # P1 values at the quadrature point
+            be_x -= (wq[q] * area) * np.outer(psi, g6[:, 0])
+            be_y -= (wq[q] * area) * np.outer(psi, g6[:, 1])
+        ux = nodes6
+        uy = nodes6 + n2
+        pd = 2 * n2 + p_of_node[nodes6[:3]]
+        A[np.ix_(ux, ux)] += nu * ke
+        A[np.ix_(uy, uy)] += nu * ke
+        A[np.ix_(pd, ux)] += be_x
+        A[np.ix_(pd, uy)] += be_y
+        A[np.ix_(ux, pd)] += be_x.T
+        A[np.ix_(uy, pd)] += be_y.T
+
+    b = np.zeros(total)
+    outer = np.nonzero(mesh.markers == config.outer_marker)[0]
+    inner = np.nonzero(mesh.markers == config.inner_marker)[0]
+    vals = np.zeros((len(inner), 2))
+    if len(inner):
+        from tpufem import bc as bc_mod
+
+        vals = bc_mod.squirmer_values(
+            mesh.coords, inner, config.center, config.B1, config.B2
+        )
+    for i in outer:
+        for dof in (i, i + n2):
+            A[dof, :] = 0.0
+            A[dof, dof] = 1.0
+            b[dof] = 0.0
+    for k, i in enumerate(inner):
+        for dof, v in ((i, vals[k, 0]), (i + n2, vals[k, 1])):
+            A[dof, :] = 0.0
+            A[dof, dof] = 1.0
+            b[dof] = v
+    pin = 2 * n2
+    A[pin, :] = 0.0
+    A[pin, pin] = 1.0
+    b[pin] = 0.0
+    return A, b, corners
+
+
+def solve_taylor_hood(mesh: Mesh, config: TaylorHoodConfig = TaylorHoodConfig()):
+    """→ (u (N2,2), p (N1,), residual).  Unique solve (dense LU on host)."""
+    A, b, corners = assemble_taylor_hood(mesh, config)
+    solver = make_dense_solver(jnp.asarray(A), "lu")
+    sol = solver.solve(jnp.asarray(b))
+    n2 = mesh.coords.shape[0]
+    u = jnp.stack([sol[:n2], sol[n2 : 2 * n2]], axis=1)
+    p = sol[2 * n2 :]
+    residual = jnp.linalg.norm(jnp.asarray(A) @ sol - jnp.asarray(b))
+    return u, p, residual
+
+
+# ---------------------------------------------------------------------------
 # Operator-split Navier–Stokes (implicit advection)
 # ---------------------------------------------------------------------------
 
