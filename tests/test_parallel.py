@@ -116,6 +116,38 @@ def test_distributed_cg_matches_single_device(mesh1):
     np.testing.assert_allclose(x_dist, x_single, atol=1e-9)
 
 
+def test_halo_exchange_cg_matches_single_device():
+    """ppermute halo-exchange CG over RCM-banded blocks ≡ single-device
+    banded solve (O(bandwidth) communication instead of all_gather)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import tpufem
+    from jax.sharding import Mesh as DeviceMesh
+
+    from tpufem import bc as bc_mod
+    from tpufem.ops import assembly
+    from tpufem.ops.banded import BandedOperator
+    from tpufem.parallel.halo import make_halo_viscous_solver
+    from tpufem.solve.matfree import ViscousCG
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48)  # ~1.5k nodes
+    dmesh1d = DeviceMesh(np.asarray(jax.devices()[:8]), ("space",))
+    K = assembly.assemble_csr(mesh, assembly.element_stiffness(mesh))
+    band = BandedOperator.build(K, dtype=jnp.float64)
+    boundary = bc_mod.ChannelBoundary.build(mesh)
+    mask = np.ones(mesh.n_nodes)
+    mask[boundary.dirichlet] = 0.0
+
+    single = ViscousCG(K=band, interior_mask=jnp.asarray(mask), dt_nu=0.005, iters=80)
+    dist = make_halo_viscous_solver(dmesh1d, band, mask, 0.005, iters=80)
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    np.testing.assert_allclose(
+        np.asarray(dist(b)), np.asarray(single.solve(b)), atol=1e-9
+    )
+
+
 def test_sharded_state_is_actually_sharded(mesh1, dmesh):
     ens = ShardedEnsemble.build(
         mesh1, dmesh, np.full(4, -2.0), np.array([0.0, 1.0, 2.0, 3.0])
