@@ -80,6 +80,20 @@ def test_stokes_food_capture(mesh1):
     assert (pts[:, 0] >= 0).all() and (pts[:, 0] <= 1.0).all()  # x-wrapped
 
 
+def test_food_capture_mesh_fine(mesh_fine):
+    """BASELINE config 5: the food-capture pipeline on the benchmark mesh
+    (mesh_fine, 1067 nodes) runs finite with monotone capture stats."""
+    cfg = stokes.StokesConfig(
+        dt=0.01, nu=1.0, transport="tracers", tracer_density=20,
+        pressure_mode="merge",
+    )
+    problem = stokes.StokesProblem.build(mesh_fine, cfg)
+    state, metrics = stokes.run(problem, steps=20)
+    eaten = np.asarray(metrics["eaten"])
+    assert (np.diff(eaten) >= 0).all()
+    assert np.isfinite(np.asarray(state["u"])).all()
+
+
 def test_rotating_cylinder_with_ramp(mesh1):
     cfg = stokes.StokesConfig(bc_kind="rotating", omega=5.0, ramp_steps=10, dt=1e-3)
     problem = stokes.StokesProblem.build(mesh1, cfg)

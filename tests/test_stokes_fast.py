@@ -50,8 +50,10 @@ def test_dense_ops_match_segment_path(mesh1):
     b = stokes.StokesProblem.build(mesh1, stokes.StokesConfig(dense_ops=False))
     sa, _ = stokes.run(a, steps=10)
     sb, _ = stokes.run(b, steps=10)
+    # 1e-7: TPU's emulated f64 rounds the two summation orders apart by
+    # ~3e-9 (CPU agrees to ~1e-12)
     np.testing.assert_allclose(
-        np.asarray(sa["u"]), np.asarray(sb["u"]), atol=1e-9
+        np.asarray(sa["u"]), np.asarray(sb["u"]), atol=1e-7
     )
 
 
