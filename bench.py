@@ -25,7 +25,8 @@ import numpy as np
 
 BENCH_STEPS = 1000
 BASELINE_STEPS = 3
-TRACER_DENSITY = 100  # 100×100 grid minus cylinder ≈ 9.6k tracers
+TRACER_DENSITY = 115  # 115×115 grid minus cylinder ≈ 10k tracers
+# (BASELINE.json config 5: "full Stokes + 10k tracers + capture stats")
 
 
 def _bench_mesh():
