@@ -115,6 +115,23 @@ def test_single_step_diagnostics(mesh1):
     assert d["div_after_max"] < d["div_star_max"]
 
 
+def test_operator_properties_on_jittered_mesh():
+    """Robustness: the discrete-calculus identities hold on an irregular
+    (jittered-node) generated mesh, not just the bundled ones."""
+    import tpufem
+
+    m = tpufem.generate_annulus_mesh(n_side=24, n_circle=28, jitter=0.25, seed=3)
+    assert m.valid.all()
+    g = np.asarray(diag.gradient_test(m))
+    np.testing.assert_allclose(g, [2.0, 3.0], atol=0.1)
+    assert abs(float(diag.divergence_test(m)) - 5.0) < 0.1
+    assert float(diag.adjointness_test(m)) < 1e-6
+    # the lumped −div∘grad composition drifts from the FEM Laplacian on
+    # irregular elements (the accuracy limitation the reference's report
+    # itself documents) — correlation degrades but must stay substantial
+    assert diag.laplacian_vs_divgrad_test(m) > 0.5
+
+
 def test_blowup_guard():
     import jax.numpy as jnp
 

@@ -110,7 +110,7 @@ class StokesConfig:
     locator: str = "grid"  # "grid" (scalable O(P·C)) | "topk" (reference
     # k-nearest-centroid semantics, O(P·T) — fine below ~10k triangles)
     locator_k: int = 10
-    locator_grid: int = 0  # 0 = auto (~√T cells per side)
+    locator_grid: int = 0  # 0 = auto (~2√T cells per side)
 
 
 _DTYPES = {"f64": jnp.float64, "f32": jnp.float32, "bf16": jnp.bfloat16}
