@@ -148,6 +148,75 @@ def test_halo_exchange_cg_matches_single_device():
     )
 
 
+def test_halo_pressure_solver_matches_single_device():
+    """Halo-exchange merged-pressure CG ≡ single-device PressureCG."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import tpufem
+    from jax.sharding import Mesh as DeviceMesh
+
+    from tpufem.parallel.halo import make_halo_pressure_solver
+    from tpufem.workloads import stokes as stk
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48)
+    problem = stk.StokesProblem.build(
+        mesh,
+        stk.StokesConfig(solver="cg", cg_storage="banded", cg_iters_pressure=300),
+    )
+    ps = problem.pressure_solver
+    dmesh1d = DeviceMesh(np.asarray(jax.devices()[:8]), ("space",))
+    dist = make_halo_pressure_solver(
+        dmesh1d, ps.K_merged, ps.m_lumped, ps.masters, ps.slaves,
+        np.asarray(ps.active_mask), iters=300,
+    )
+    rng = np.random.default_rng(0)
+    from tpufem.ops import calculus
+
+    u = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    b = -calculus.divergence(mesh, u) / 0.01
+    p_single = np.asarray(ps.solve(b))
+    p_dist = np.asarray(dist(b))
+    act = np.asarray(ps.active_mask) > 0
+    # compare modulo the constant gauge on active dofs
+    d1 = p_single[act] - p_single[act].mean()
+    d2 = p_dist[act] - p_dist[act].mean()
+    np.testing.assert_allclose(d2, d1, atol=1e-7)
+
+
+def test_sharded_matfree_stokes_step_matches_single(mesh1):
+    """Full space-sharded matrix-free Stokes step (halo CG solves +
+    element-sharded div/grad) ≡ single-device CG path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import tpufem
+    from jax.sharding import Mesh as DeviceMesh
+
+    from tpufem.parallel.stokes_sharded import make_sharded_matfree_step
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48)
+    cfg = stokes.StokesConfig(
+        solver="cg", cg_storage="banded", cg_iters_visc=80,
+        cg_iters_pressure=300, cg_warm_start=False, transport="none",
+    )
+    problem = stokes.StokesProblem.build(mesh, cfg)
+    dmesh1d = DeviceMesh(np.asarray(jax.devices()[:8]), ("space",))
+    sh_step = make_sharded_matfree_step(dmesh1d, problem)
+
+    state = stokes.initial_state(problem)
+    step_fn = stokes.make_step(problem)
+    u_sh = state["u"]
+    st = state
+    for _ in range(3):
+        u_sh, m_sh = sh_step(u_sh)
+        st, m_single = step_fn(st, None)
+    np.testing.assert_allclose(
+        np.asarray(u_sh), np.asarray(st["u"]), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(m_sh["final_div_max"]), float(m_single["final_div_max"]), rtol=1e-5
+    )
+
+
 def test_sharded_state_is_actually_sharded(mesh1, dmesh):
     ens = ShardedEnsemble.build(
         mesh1, dmesh, np.full(4, -2.0), np.array([0.0, 1.0, 2.0, 3.0])
