@@ -151,7 +151,7 @@ def _tri_aabb_overlap(tri: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> bool:
     return True
 
 
-_TRI_XY_CACHE: dict[int, np.ndarray] = {}
+_TRI_XY_CACHE: dict = {}
 
 
 def _tri_xy_table(mesh: Mesh) -> np.ndarray:
