@@ -3,5 +3,19 @@ from tpufem.parallel.spmd import (
     build_device_mesh,
     make_sharded_step,
 )
+from tpufem.parallel.dist_cg import make_sharded_viscous_solver
+from tpufem.parallel.halo import (
+    make_halo_pressure_solver,
+    make_halo_viscous_solver,
+)
+from tpufem.parallel.stokes_sharded import make_sharded_matfree_step
 
-__all__ = ["ShardedEnsemble", "build_device_mesh", "make_sharded_step"]
+__all__ = [
+    "ShardedEnsemble",
+    "build_device_mesh",
+    "make_sharded_step",
+    "make_sharded_viscous_solver",
+    "make_halo_viscous_solver",
+    "make_halo_pressure_solver",
+    "make_sharded_matfree_step",
+]
