@@ -145,6 +145,33 @@ def test_cg_eulerian_dye_tracks_dense(mesh1):
     assert err < 0.02, err
 
 
+def test_chebyshev_preconditioner_converges(mesh1):
+    """Chebyshev-PCG reaches the same pressure solution as Jacobi-PCG
+    (an SPD polynomial preconditioner — option for latency-bound
+    distributed runs)."""
+    from tpufem.ops import calculus
+
+    jac = stokes.StokesProblem.build(
+        mesh1, stokes.StokesConfig(solver="cg", cg_iters_pressure=600)
+    ).pressure_solver
+    che = stokes.StokesProblem.build(
+        mesh1,
+        stokes.StokesConfig(
+            solver="cg", cg_iters_pressure=150, cg_precond="chebyshev"
+        ),
+    ).pressure_solver
+    assert che.lmax > 0
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((mesh1.n_nodes, 2)))
+    b = -calculus.divergence(mesh1, u) / 0.05
+    act = np.asarray(jac.active_mask) > 0
+    p1 = np.asarray(jac.solve(b))
+    p2 = np.asarray(che.solve(b))
+    d1 = p1[act] - p1[act].mean()
+    d2 = p2[act] - p2[act].mean()
+    np.testing.assert_allclose(d2, d1, atol=1e-6)
+
+
 def test_cg_large_generated_mesh():
     """The scaling regime the reference cannot reach: ~6k-node annulus,
     matrix-free f32, no dense matrices materialized."""

@@ -95,6 +95,9 @@ class PressureCG:
     slaves: np.ndarray
     active_mask: jnp.ndarray  # 0.0 at slave dofs
     iters: int
+    precond: str = "jacobi"  # "jacobi" | "chebyshev"
+    cheby_degree: int = 4
+    lmax: float = 0.0  # power-iteration estimate (build-time)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.K_merged.matvec(x)
@@ -112,6 +115,14 @@ class PressureCG:
             rhs = rhs * self.active_mask
         diag = self.K_merged.diag()
         inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+        if self.precond == "chebyshev":
+            from tpufem.solve.cg import chebyshev_preconditioner
+
+            M = chebyshev_preconditioner(
+                self.matvec, inv_diag, self.lmax, degree=self.cheby_degree
+            )
+        else:
+            M = lambda r: inv_diag * r
         if x0 is not None:
             x0 = x0 * self.active_mask
         p, _ = cg_fixed(
@@ -119,7 +130,7 @@ class PressureCG:
             rhs,
             x0=x0,
             iters=self.iters,
-            precond=lambda r: inv_diag * r,
+            precond=M,
             deflate=True,
             deflate_weights=self.active_mask,
         )

@@ -72,6 +72,11 @@ class StokesConfig:
     # TPU) | "auto" (banded on accelerators, csr on CPU)
     cg_warm_start: bool = True  # warm-start pressure CG from the previous
     # step's pressure (big iteration savings near steady state)
+    cg_precond: str = "jacobi"  # | "chebyshev" (degree-k polynomial smoother:
+    # fewer OUTER iterations — useful when per-iteration collective latency
+    # dominates (distributed CG); measured per-matvec efficiency on the
+    # bundled/generated meshes favors plain Jacobi, hence the default)
+    cg_cheby_degree: int = 4
     precision: str = "f64"  # "f64" (parity) | "f32" | "bf16" (device dtype;
     # all factorizations happen on host in f64 regardless)
     pressure_mode: str = "penalty"  # "penalty" (reference ±1e10, f64-only)
@@ -395,13 +400,24 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
     mesh_merged = dc.replace(mesh, tris=relabeled)
     Km_csr = assembly.assemble_csr(mesh_merged, ke)
     active_mask = (owner == np.arange(mesh.n_nodes)).astype(np.float64)
+    km = materialize(Km_csr)
+    lmax = 0.0
+    if config.cg_precond == "chebyshev":
+        from tpufem.solve.cg import estimate_lmax
+
+        diag = km.diag()
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+        lmax = estimate_lmax(km.matvec, inv_diag, mesh.n_nodes)
     pressure = PressureCG(
-        K_merged=materialize(Km_csr),
+        K_merged=km,
         m_lumped=jnp.asarray(np.asarray(m_lumped), dtype=dtype),
         masters=boundary.masters,
         slaves=boundary.slaves,
         active_mask=jnp.asarray(active_mask, dtype=dtype),
         iters=config.cg_iters_pressure,
+        precond=config.cg_precond,
+        cheby_degree=config.cg_cheby_degree,
+        lmax=lmax,
     )
     return visc, pressure
 
