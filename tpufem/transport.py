@@ -95,7 +95,9 @@ class GridLocator:
     @classmethod
     def build(cls, mesh: Mesh, g: int = 16, exact: bool = True) -> "GridLocator":
         """``exact=True`` prunes bbox candidates with a triangle-vs-cell
-        separating-axis test — roughly halves C_max on thin triangles."""
+        separating-axis test — roughly halves C_max on thin triangles.
+        Fully vectorized over (triangle, bbox-cell-offset) pairs: build is
+        O(T · span²) NumPy, not a Python double loop."""
         lo = mesh.coords.min(axis=0)
         hi = mesh.coords.max(axis=0)
         extent = np.maximum(hi - lo, 1e-12)
@@ -103,20 +105,40 @@ class GridLocator:
         tmin = ((pc.min(axis=1) - lo) / extent * g).astype(int).clip(0, g - 1)
         tmax = ((pc.max(axis=1) - lo) / extent * g).astype(int).clip(0, g - 1)
         cell_w = extent / g
-        buckets: list[list[int]] = [[] for _ in range(g * g)]
-        for t in range(mesh.n_tris):
-            tri = pc[t]
-            for cx in range(tmin[t, 0], tmax[t, 0] + 1):
-                for cy in range(tmin[t, 1], tmax[t, 1] + 1):
-                    if exact:
-                        c0 = lo + np.array([cx, cy]) * cell_w
-                        if not _tri_aabb_overlap(tri, c0, c0 + cell_w):
-                            continue
-                    buckets[cx * g + cy].append(t)
-        cmax = max(1, max(len(b) for b in buckets))
+
+        pair_cells = []
+        pair_tris = []
+        max_dx = int((tmax[:, 0] - tmin[:, 0]).max()) + 1
+        max_dy = int((tmax[:, 1] - tmin[:, 1]).max()) + 1
+        tri_ids = np.arange(mesh.n_tris)
+        for dx in range(max_dx):
+            for dy in range(max_dy):
+                cx = tmin[:, 0] + dx
+                cy = tmin[:, 1] + dy
+                sel = (cx <= tmax[:, 0]) & (cy <= tmax[:, 1])
+                if not sel.any():
+                    continue
+                t_sel = tri_ids[sel]
+                if exact:
+                    c0 = lo + np.stack([cx[sel], cy[sel]], axis=1) * cell_w
+                    keep = _tri_aabb_overlap_batch(pc[t_sel], c0, c0 + cell_w)
+                    t_sel = t_sel[keep]
+                    cx_k, cy_k = cx[sel][keep], cy[sel][keep]
+                else:
+                    cx_k, cy_k = cx[sel], cy[sel]
+                pair_cells.append(cx_k * g + cy_k)
+                pair_tris.append(t_sel)
+        cell_ids = np.concatenate(pair_cells)
+        tri_of = np.concatenate(pair_tris)
+        order = np.lexsort((tri_of, cell_ids))  # ascending tri within cell
+        cell_ids, tri_of = cell_ids[order], tri_of[order]
+        counts = np.bincount(cell_ids, minlength=g * g)
+        cmax = max(1, int(counts.max()))
         cells = np.full((g * g, cmax), -1, dtype=np.int32)
-        for i, b in enumerate(buckets):
-            cells[i, : len(b)] = b
+        slot = np.arange(len(cell_ids)) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        cells[cell_ids, slot] = tri_of
         cell_xy = np.zeros((g * g, cmax, 3, 2))
         valid = cells >= 0
         cell_xy[valid] = pc[cells[valid]]
@@ -137,18 +159,31 @@ class GridLocator:
         return _first_containing(self.mesh, cand, points, return_weights, tri_xy)
 
 
-def _tri_aabb_overlap(tri: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> bool:
-    """2D separating-axis test: triangle (3,2) vs axis-aligned box."""
-    box = np.array([[lo[0], lo[1]], [hi[0], lo[1]], [hi[0], hi[1]], [lo[0], hi[1]]])
-    # axes: x, y, and the 3 triangle edge normals
-    edges = tri[[1, 2, 0]] - tri
-    axes = np.concatenate([np.eye(2), np.stack([-edges[:, 1], edges[:, 0]], axis=1)])
-    for ax in axes:
-        t_proj = tri @ ax
-        b_proj = box @ ax
-        if t_proj.max() < b_proj.min() - 1e-15 or b_proj.max() < t_proj.min() - 1e-15:
-            return False
-    return True
+def _tri_aabb_overlap_batch(tri: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """Batched 2D separating-axis test: triangles (B,3,2) vs boxes (B,2).
+
+    Returns (B,) bool.  Axes tested: x, y, and the 3 edge normals of each
+    triangle; a pair overlaps iff no axis separates the projections."""
+    b = tri.shape[0]
+    box = np.stack(
+        [
+            np.stack([lo[:, 0], lo[:, 1]], axis=1),
+            np.stack([hi[:, 0], lo[:, 1]], axis=1),
+            np.stack([hi[:, 0], hi[:, 1]], axis=1),
+            np.stack([lo[:, 0], hi[:, 1]], axis=1),
+        ],
+        axis=1,
+    )  # (B,4,2)
+    edges = tri[:, [1, 2, 0]] - tri  # (B,3,2)
+    normals = np.stack([-edges[..., 1], edges[..., 0]], axis=2)  # (B,3,2)
+    xy = np.broadcast_to(np.eye(2), (b, 2, 2))
+    axes = np.concatenate([xy, normals], axis=1)  # (B,5,2)
+    t_proj = np.einsum("bvd,bad->bav", tri, axes)  # (B,5,3)
+    b_proj = np.einsum("bvd,bad->bav", box, axes)  # (B,5,4)
+    sep = (t_proj.max(axis=2) < b_proj.min(axis=2) - 1e-15) | (
+        b_proj.max(axis=2) < t_proj.min(axis=2) - 1e-15
+    )
+    return ~sep.any(axis=1)
 
 
 _TRI_XY_CACHE: dict = {}
