@@ -13,6 +13,26 @@ import pytest
 from tpufem.workloads import sweep
 
 
+def test_sharded_sweep_matches_sequential(mesh1):
+    """The one-program sharded gait campaign reproduces the sequential
+    per-gait sweep's capture counts."""
+    import jax
+
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 virtual devices")
+    from jax.sharding import Mesh as DeviceMesh
+
+    dmesh = DeviceMesh(np.asarray(jax.devices()[:6]).reshape(3, 2), ("data", "space"))
+    cfg = sweep.SweepConfig(steps=150, tracer_density=12, precision="f32")
+    seq = sweep.food_capture_sweep(mesh1, cfg)
+    sh = sweep.food_capture_sweep_sharded(mesh1, dmesh, cfg)
+    for b2 in cfg.b2_values:
+        # sequential uses the fused step, sharded the staged one — f32
+        # trajectories differ at ~1e-6, so threshold-crossing counts may
+        # wobble by a tracer or two
+        assert abs(sh[b2]["eaten"] - seq[b2]["eaten"]) <= 2, (b2, sh[b2], seq[b2])
+
+
 def test_gait_ordering_short(mesh1):
     cfg = sweep.SweepConfig(steps=800, precision="f64", fused=False)
     res = sweep.food_capture_sweep(mesh1, cfg)

@@ -2,6 +2,7 @@ from tpufem.parallel.spmd import (
     ShardedEnsemble,
     build_device_mesh,
     make_sharded_step,
+    run_sharded,
 )
 from tpufem.parallel.dist_cg import make_sharded_viscous_solver
 from tpufem.parallel.halo import (
@@ -14,6 +15,7 @@ __all__ = [
     "ShardedEnsemble",
     "build_device_mesh",
     "make_sharded_step",
+    "run_sharded",
     "make_sharded_viscous_solver",
     "make_halo_viscous_solver",
     "make_halo_pressure_solver",

@@ -196,12 +196,32 @@ def _grad_local(tris, grads, area, valid, p, n_nodes):
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_step(ensemble: ShardedEnsemble):
+def run_sharded(ensemble: "ShardedEnsemble", steps: int, state: dict | None = None):
+    """Scan ``steps`` sharded ensemble steps in ONE jitted program.
+
+    Returns (final_state, per-step per-sim metric array (steps, B)) —
+    eaten counts for tracer ensembles, max-divergence for dye ensembles.
+    """
+    if state is None:
+        state = ensemble.initial_state()
+    raw_step = make_sharded_step(ensemble, _jit=False)
+
+    @jax.jit
+    def scan_all(state):
+        return jax.lax.scan(lambda s, _: raw_step(s), state, None, length=steps)
+
+    return scan_all(state)
+
+
+def make_sharded_step(ensemble: ShardedEnsemble, _jit: bool = True):
     """Build the jitted (data, space)-sharded full step: viscous solve →
-    double pressure projection → BC re-application → dye advection.
+    double pressure projection → BC re-application → dye advection or
+    tracer transport.
 
     Collectives: ``all_gather`` ("space") after each row-sharded matvec,
     ``psum`` ("space") to assemble element-sharded div/grad sums.
+    ``_jit=False`` returns the raw state→(state, metric) callable for
+    embedding in ``lax.scan`` (see :func:`run_sharded`).
     """
     problem = ensemble.problem
     mesh = problem.mesh
@@ -297,8 +317,7 @@ def make_sharded_step(ensemble: ShardedEnsemble):
             per_sim = jnp.max(jnp.abs(div(u_new)), axis=1)
         return new_state, per_sim
 
-    @jax.jit
-    def jitted(state):
+    def raw(state):
         return step(state, ensemble.visc_inv, ensemble.pressure_inv, ensemble.inner_values)
 
-    return jitted
+    return jax.jit(raw) if _jit else raw

@@ -37,6 +37,40 @@ class SweepConfig:
     fused: bool = True
 
 
+def food_capture_sweep_sharded(mesh: Mesh, device_mesh,
+                               config: SweepConfig = SweepConfig()) -> dict:
+    """The whole gait campaign as ONE sharded program: gaits ride the
+    "data" mesh axis (one simulation per data-shard), the solver matvecs
+    the "space" axis.  Requires len(b2_values) == data-axis size."""
+    import jax
+
+    from tpufem.parallel import ShardedEnsemble, run_sharded
+
+    b2s = np.asarray(config.b2_values)
+    assert device_mesh.shape["data"] == len(b2s), (
+        "one gait per data shard: build the device mesh with "
+        f"data={len(b2s)}"
+    )
+    cfg = stokes.StokesConfig(
+        dt=config.dt, nu=config.nu, B1=config.b1, transport="tracers",
+        tracer_density=config.tracer_density, precision=config.precision,
+        pressure_mode="merge", solver="inverse",
+    )
+    ens = ShardedEnsemble.build(mesh, device_mesh, np.full(len(b2s), config.b1),
+                                b2s, config=cfg)
+    state, eaten_series = run_sharded(ens, config.steps)
+    n_tracers = ens.problem.tracer_init.shape[0]
+    eaten = np.asarray(eaten_series)[-1]
+    return {
+        float(b2): {
+            "eaten": int(eaten[i]),
+            "tracers": n_tracers,
+            "consumed_fraction": float(eaten[i]) / n_tracers,
+        }
+        for i, b2 in enumerate(b2s)
+    }
+
+
 def food_capture_sweep(mesh: Mesh, config: SweepConfig = SweepConfig()) -> dict:
     """→ {B2: consumed_fraction} plus per-gait eaten counts."""
     results = {}
