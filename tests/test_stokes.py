@@ -33,6 +33,21 @@ def test_stokes_parity_5_steps(mesh1, problem):
     )
 
 
+def test_stokes_parity_50_steps_long(mesh1, problem):
+    """Long-horizon parity: 50 reference-algorithm steps, rel err ~1e-9
+    (errors do not compound beyond roundoff — the dynamics are identical)."""
+    ref = numpy_ref.StokesRef(mesh1.coords, mesh1.tris, mesh1.markers, dt=0.05, nu=0.1)
+    u_ref = ref.initial_state()
+    for _ in range(50):
+        u_ref, m_ref = ref.step(u_ref)
+    state, metrics = stokes.run(problem, steps=50)
+    err = np.linalg.norm(np.asarray(state["u"]) - u_ref) / np.linalg.norm(u_ref)
+    assert err < 1e-6, err
+    np.testing.assert_allclose(
+        float(metrics["final_div_max"][-1]), m_ref["final_div"], rtol=1e-5
+    )
+
+
 def test_projection_reduces_divergence(problem):
     """The projection must substantially reduce divergence each step
     (the reference's de-facto regression oracle, SURVEY.md §4.4)."""
