@@ -49,6 +49,8 @@ def _common(sub, mesh_default="mesh.1"):
     sub.add_argument("--mesh", default=mesh_default)
     sub.add_argument("--out", default=None, help="output directory")
     sub.add_argument("--steps", type=int, default=None)
+    sub.add_argument("--verbose", action="store_true",
+                     help="print reference-style per-step lines after the run")
 
 
 def _finish(args, name, state_or_field, metrics=None, mesh=None, field=None):
@@ -56,6 +58,10 @@ def _finish(args, name, state_or_field, metrics=None, mesh=None, field=None):
     if metrics is not None:
         from tpufem.metrics import summarize
 
+        if getattr(args, "verbose", False):
+            from tpufem.metrics import print_reference_style
+
+            print_reference_style(metrics, every=max(1, len(next(iter(metrics.values()))) // 50))
         print(json.dumps({name: summarize(metrics)}, indent=None, default=float))
     if out:
         os.makedirs(out, exist_ok=True)
