@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(outdir="examples/gallery"):
+def main(outdir="examples/gallery", quick=False):
     import os
 
     import jax
@@ -40,6 +40,12 @@ def main(outdir="examples/gallery"):
     os.makedirs(outdir, exist_ok=True)
     stem = cfgmod.reference_mesh_path("mesh.1")
     mesh = tpufem.load_mesh(stem) if stem else tpufem.generate_annulus_mesh()
+    if quick:  # smoke-test sizes (tests/test_examples.py)
+        mesh = tpufem.generate_annulus_mesh(n_side=14, n_circle=16)
+    heat_steps = 30 if quick else 600
+    stokes_steps = 20 if quick else 300
+    food_steps = 15 if quick else 400
+    anim_steps, anim_int = (8, 4) if quick else (300, 15)
 
     # Mesh.png
     viz.plot_mesh(mesh).figure.savefig(f"{outdir}/mesh.png", dpi=110)
@@ -51,7 +57,7 @@ def main(outdir="examples/gallery"):
     ax.figure.savefig(f"{outdir}/poisson.png", dpi=110)
 
     # Heat.png
-    u, _ = heat.run(mesh, heat.HeatConfig(steps=600))
+    u, _ = heat.run(mesh, heat.HeatConfig(steps=heat_steps))
     ax = viz.plot_scalar(mesh, np.asarray(u), label="u")
     ax.set_title("Implicit heat equation, 600 steps")
     ax.figure.savefig(f"{outdir}/heat.png", dpi=110)
@@ -60,7 +66,7 @@ def main(outdir="examples/gallery"):
     prob = stokes.StokesProblem.build(
         mesh, stokes.StokesConfig(pressure_mode="merge")
     )
-    state, _ = stokes.run(prob, steps=300)
+    state, _ = stokes.run(prob, steps=stokes_steps)
     uu = np.asarray(state["u"])
     w = np.asarray(calculus.vorticity(mesh, jnp.asarray(uu)))
     # pressure snapshot from one extra projection step
@@ -74,7 +80,7 @@ def main(outdir="examples/gallery"):
         stokes.StokesConfig(dt=0.01, nu=1.0, transport="tracers",
                             pressure_mode="merge"),
     )
-    statef, _ = stokes.run(probf, steps=400)
+    statef, _ = stokes.run(probf, steps=food_steps)
     ax = viz.tracer_frame(mesh, np.asarray(statef["u"]), statef["tracers"],
                           statef["tracer_status"])
     ax.set_title("Squirmer food capture")
@@ -84,7 +90,7 @@ def main(outdir="examples/gallery"):
     probd = stokes.StokesProblem.build(
         mesh, stokes.StokesConfig(transport="dye", pressure_mode="merge")
     )
-    _, _, frames = viz.run_with_frames(probd, steps=300, frame_interval=15)
+    _, _, frames = viz.run_with_frames(probd, steps=anim_steps, frame_interval=anim_int)
     path = viz.animate(mesh, frames, path=f"{outdir}/dye_mixing.mp4", fps=8)
     print(f"gallery written to {outdir}/ (animation: {path})")
 
