@@ -120,6 +120,20 @@ def test_rotating_cylinder_with_ramp(mesh1):
     np.testing.assert_allclose(mags, 5.0 * 0.25, rtol=1e-6)
 
 
+def test_all_walls_enclosed_box(mesh1):
+    """Enclosed-box Stokes (stokes_flow.py family): all marked nodes are
+    no-slip walls, no periodicity — the squirmer still stirs the interior."""
+    cfg = stokes.StokesConfig(all_walls=True, pressure_mode="merge")
+    problem = stokes.StokesProblem.build(mesh1, cfg)
+    assert len(problem.boundary.masters) == 0
+    state, metrics = stokes.run(problem, steps=10)
+    u = np.asarray(state["u"])
+    np.testing.assert_allclose(u[problem.boundary.walls], 0.0, atol=1e-12)
+    interior = mesh1.markers == 0
+    assert np.abs(u[interior]).max() > 1e-3  # flow develops
+    assert np.isfinite(u).all()
+
+
 def test_single_vs_double_projection(mesh1):
     """The second projection exists to reduce divergence further —
     verify it does (cf. StokesColor.py:566 comment)."""

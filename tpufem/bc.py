@@ -215,13 +215,26 @@ class ChannelBoundary:
         L: float = 1.0,
         H: float = 1.0,
         tol: float = 1e-6,
+        periodic: bool = True,
+        all_walls: bool = False,
     ) -> "ChannelBoundary":
+        """``all_walls=True`` makes every non-inner marked node a Dirichlet
+        wall and disables periodicity — the enclosed-box configuration of
+        the reference's ``scripts/stokes_flow.py`` family."""
         coords = mesh.coords
         walls = np.nonzero(
             np.isclose(coords[:, 1], 0.0, atol=tol) | np.isclose(coords[:, 1], H, atol=tol)
         )[0].astype(np.int32)
         inner = np.nonzero(mesh.markers == inner_marker)[0].astype(np.int32)
+        if all_walls:
+            periodic = False
+            marked = np.nonzero(mesh.markers != 0)[0].astype(np.int32)
+            walls = np.setdiff1d(marked, inner).astype(np.int32)
         dirichlet = np.union1d(walls, inner).astype(np.int32)
         interior = np.setdiff1d(np.arange(mesh.n_nodes, dtype=np.int32), dirichlet)
-        masters, slaves = find_periodic_pairs(coords, L=L, H=H, tol=tol)
+        if periodic:
+            masters, slaves = find_periodic_pairs(coords, L=L, H=H, tol=tol)
+        else:
+            masters = np.zeros(0, np.int32)
+            slaves = np.zeros(0, np.int32)
         return cls(walls, inner, dirichlet, interior, masters, slaves)

@@ -56,6 +56,8 @@ class StokesConfig:
     inner_marker: int = 2
     outer_value: tuple[float, float] = (0.0, 0.0)  # wall velocity — the
     # early channel-flow iterations drive with OUTER=[1,0] (scripts/NS.py)
+    all_walls: bool = False  # enclosed box: every marked node Dirichlet,
+    # no periodicity (scripts/stokes_flow.py family)
     L: float = 1.0
     H: float = 1.0
     tol: float = 1e-6
@@ -212,7 +214,8 @@ class StokesProblem:
             )
         dtype = _DTYPES[config.precision]
         boundary = bc.ChannelBoundary.build(
-            mesh, inner_marker=config.inner_marker, L=config.L, H=config.H, tol=config.tol
+            mesh, inner_marker=config.inner_marker, L=config.L, H=config.H,
+            tol=config.tol, all_walls=config.all_walls,
         )
         m_lumped = assembly.lumped_mass(mesh)
         n = mesh.n_nodes
