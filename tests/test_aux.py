@@ -36,6 +36,23 @@ def test_checkpoint_resume_bit_identical(mesh1, dye_problem, tmp_path):
     np.testing.assert_array_equal(np.asarray(straight["c"]), np.asarray(resumed["c"]))
 
 
+def test_checkpoint_resume_cg_warm_state(mesh1, tmp_path):
+    """Resume bit-identity also holds for the CG path, whose state carries
+    the warm-start pressures."""
+    problem = stokes.StokesProblem.build(
+        mesh1, stokes.StokesConfig(solver="cg", cg_iters_pressure=100)
+    )
+    straight, _ = stokes.run(problem, steps=8)
+    st, _ = stokes.run(problem, steps=4)
+    assert "p_warm" in st
+    path = checkpoint.save_state(str(tmp_path / "cg.npz"), st, step=4)
+    loaded, _ = checkpoint.load_state(path)
+    resumed, _ = stokes.run(problem, steps=4, state=loaded)
+    np.testing.assert_array_equal(
+        np.asarray(straight["u"]), np.asarray(resumed["u"])
+    )
+
+
 def test_checkpointed_run(mesh1, dye_problem, tmp_path):
     state, paths = checkpoint.checkpointed_run(
         dye_problem, total_steps=15, every=5, directory=str(tmp_path)
