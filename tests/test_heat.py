@@ -14,6 +14,16 @@ def test_heat_parity_50_steps(mesh21):
     assert maxu.shape == (50,)
 
 
+def test_heat_f32_tracks_f64(mesh21):
+    u64, _ = heat.run(mesh21, heat.HeatConfig(steps=50))
+    u32, _ = heat.run(mesh21, heat.HeatConfig(steps=50, precision="f32"))
+    assert u32.dtype == np.float32 or str(u32.dtype) == "float32"
+    err = np.linalg.norm(np.asarray(u32) - np.asarray(u64)) / np.linalg.norm(
+        np.asarray(u64)
+    )
+    assert err < 1e-4, err
+
+
 def test_heat_steady_state_is_bounded(mesh21):
     """With zero source the implicit solve relaxes toward BC-driven values;
     max|u| must stay bounded by the boundary data (max value 1.0)."""

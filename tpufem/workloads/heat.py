@@ -42,6 +42,8 @@ class HeatConfig:
     H: float = 1.0
     tol: float = 1e-6
     solver: str = "lu"
+    precision: str = "f64"  # "f32": host-factored inverse applied as f32
+    # MXU matvecs (fast TPU mode, like StokesConfig.precision)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,8 +79,17 @@ class HeatProblem:
         for i, node in enumerate(boundary.dirichlet):
             if int(node) in inner_set:
                 values[i] = config.inner_value
+        if config.precision == "f32":
+            from tpufem.solve.dense import DenseInverse
+
+            solver = DenseInverse(
+                inv=jnp.asarray(np.linalg.inv(np.asarray(A)), dtype=jnp.float32)
+            )
+            values = values.astype(np.float32)
+        else:
+            solver = make_dense_solver(A, config.solver)
         return cls(
-            solver=make_dense_solver(A, config.solver),
+            solver=solver,
             boundary=boundary,
             dirichlet_values=jnp.asarray(values),
             config=config,
@@ -96,7 +107,8 @@ def apply_field_bcs(problem: HeatProblem, u: jnp.ndarray) -> jnp.ndarray:
 
 
 def initial_state(problem: HeatProblem, n: int) -> jnp.ndarray:
-    u = jnp.zeros(n)
+    dtype = jnp.float32 if problem.config.precision == "f32" else jnp.float64
+    u = jnp.zeros(n, dtype=dtype)
     return apply_field_bcs(problem, u)
 
 
