@@ -172,6 +172,76 @@ def test_chebyshev_preconditioner_converges(mesh1):
     np.testing.assert_allclose(d2, d1, atol=1e-6)
 
 
+def test_twolevel_preconditioner_matches_jacobi_with_fewer_iters(mesh1):
+    """Two-level (aggregation coarse grid + damped Jacobi) PCG reaches the
+    Jacobi-PCG pressure solution in a fraction of the iterations — the
+    mesh-independent large-mesh path (VERDICT r1 next-step #3)."""
+    from tpufem.ops import calculus
+    from tpufem.solve.cg import cg
+    from tpufem.solve.twolevel import twolevel_preconditioner
+
+    jac = stokes.StokesProblem.build(
+        mesh1, stokes.StokesConfig(solver="cg", cg_iters_pressure=600)
+    ).pressure_solver
+    two = stokes.StokesProblem.build(
+        mesh1,
+        stokes.StokesConfig(
+            solver="cg", cg_iters_pressure=60, cg_precond="twolevel",
+            cg_coarse_nodes=64,
+        ),
+    ).pressure_solver
+    assert two.twolevel is not None and two.twolevel.n_coarse <= 96
+
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal((mesh1.n_nodes, 2)))
+    b = -calculus.divergence(mesh1, u) / 0.05
+    act = np.asarray(jac.active_mask) > 0
+    p1 = np.asarray(jac.solve(b))
+    p2 = np.asarray(two.solve(b))
+    np.testing.assert_allclose(
+        p2[act] - p2[act].mean(), p1[act] - p1[act].mean(), atol=1e-6
+    )
+
+    # iteration counts to a fixed tolerance: two-level must cut them ≥3×
+    diag = jac.K_merged.diag()
+    inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+    rhs = (jac.m_lumped * b) * jac.active_mask
+    _, (it_j, _) = cg(
+        jac.matvec, rhs, tol=1e-8, maxiter=3000,
+        precond=lambda r: inv_diag * r,
+        deflate=True, deflate_weights=jac.active_mask,
+    )
+    M = twolevel_preconditioner(
+        two.matvec, inv_diag, two.twolevel, active_mask=two.active_mask
+    )
+    _, (it_2, _) = cg(
+        two.matvec, rhs, tol=1e-8, maxiter=3000, precond=M,
+        deflate=True, deflate_weights=two.active_mask,
+    )
+    assert int(it_2) * 3 <= int(it_j), (int(it_2), int(it_j))
+
+
+def test_twolevel_stokes_run_tracks_jacobi():
+    """Full Stokes steps with cg_precond='twolevel' track the Jacobi-PCG
+    run on a generated mesh (fewer pressure iterations, same flow)."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48)
+    base = dict(solver="cg", dt=0.01, nu=1.0, transport="none",
+                cg_iters_visc=40)
+    pj = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_iters_pressure=400, **base)
+    )
+    p2 = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_iters_pressure=40,
+                                  cg_precond="twolevel", **base)
+    )
+    sj, _ = stokes.run(pj, steps=5)
+    s2, _ = stokes.run(p2, steps=5)
+    uj, u2 = np.asarray(sj["u"]), np.asarray(s2["u"])
+    assert np.isfinite(u2).all()
+    err = np.linalg.norm(u2 - uj) / np.linalg.norm(uj)
+    assert err < 1e-5, err
+
+
 def test_cg_large_generated_mesh():
     """The scaling regime the reference cannot reach: ~6k-node annulus,
     matrix-free f32, no dense matrices materialized."""

@@ -95,9 +95,10 @@ class PressureCG:
     slaves: np.ndarray
     active_mask: jnp.ndarray  # 0.0 at slave dofs
     iters: int
-    precond: str = "jacobi"  # "jacobi" | "chebyshev"
+    precond: str = "jacobi"  # "jacobi" | "chebyshev" | "twolevel"
     cheby_degree: int = 4
     lmax: float = 0.0  # power-iteration estimate (build-time)
+    twolevel: object = None  # solve.twolevel.TwoLevel (precond="twolevel")
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.K_merged.matvec(x)
@@ -120,6 +121,12 @@ class PressureCG:
 
             M = chebyshev_preconditioner(
                 self.matvec, inv_diag, self.lmax, degree=self.cheby_degree
+            )
+        elif self.precond == "twolevel":
+            from tpufem.solve.twolevel import twolevel_preconditioner
+
+            M = twolevel_preconditioner(
+                self.matvec, inv_diag, self.twolevel, active_mask=self.active_mask
             )
         else:
             M = lambda r: inv_diag * r

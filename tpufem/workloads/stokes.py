@@ -78,7 +78,11 @@ class StokesConfig:
     # fewer OUTER iterations — useful when per-iteration collective latency
     # dominates (distributed CG); measured per-matvec efficiency on the
     # bundled/generated meshes favors plain Jacobi, hence the default)
+    # | "twolevel" (aggregation coarse-grid correction + damped Jacobi —
+    # near mesh-independent pressure iteration counts; the large-mesh
+    # default, see solve/twolevel.py)
     cg_cheby_degree: int = 4
+    cg_coarse_nodes: int = 2048  # twolevel: target coarse-space size
     precision: str = "f64"  # "f64" (parity) | "f32" | "bf16" (device dtype;
     # all factorizations happen on host in f64 regardless)
     pressure_mode: str = "penalty"  # "penalty" (reference ±1e10, f64-only)
@@ -405,12 +409,25 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
     active_mask = (owner == np.arange(mesh.n_nodes)).astype(np.float64)
     km = materialize(Km_csr)
     lmax = 0.0
-    if config.cg_precond == "chebyshev":
+    tl = None
+    if config.cg_precond in ("chebyshev", "twolevel"):
         from tpufem.solve.cg import estimate_lmax
 
         diag = km.diag()
         inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
         lmax = estimate_lmax(km.matvec, inv_diag, mesh.n_nodes)
+        if config.cg_precond == "twolevel":
+            from tpufem.solve.twolevel import build_twolevel
+
+            tl = build_twolevel(
+                Km_csr,
+                np.asarray(mesh.coords),
+                km.matvec,
+                inv_diag,
+                target_coarse=config.cg_coarse_nodes,
+                dtype=dtype,
+                lmax=lmax,
+            )
     pressure = PressureCG(
         K_merged=km,
         m_lumped=jnp.asarray(np.asarray(m_lumped), dtype=dtype),
@@ -421,6 +438,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
         precond=config.cg_precond,
         cheby_degree=config.cg_cheby_degree,
         lmax=lmax,
+        twolevel=tl,
     )
     return visc, pressure
 
