@@ -24,7 +24,7 @@ import numpy as np
 
 
 BENCH_STEPS = 1000
-BASELINE_STEPS = 6
+BASELINE_STEPS = 20  # ≥20 steps → low-variance denominator (VERDICT r1 #8)
 TRACER_DENSITY = 115  # 115×115 grid minus cylinder ≈ 10k tracers
 # (BASELINE.json config 5: "full Stokes + 10k tracers + capture stats")
 

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import tpufem
+from tpufem.ops import assembly
 from tpufem.workloads import stokes
 
 
@@ -170,6 +171,65 @@ def test_chebyshev_preconditioner_converges(mesh1):
     d1 = p1[act] - p1[act].mean()
     d2 = p2[act] - p2[act].mean()
     np.testing.assert_allclose(d2, d1, atol=1e-6)
+
+
+def test_stencil_operator_exact_on_arbitrary_mesh(mesh1):
+    """The stencil decomposition (top offsets + COO remainder) is EXACT on
+    any mesh/ordering — coverage only affects speed."""
+    from tpufem.ops.stencil import StencilOperator
+
+    K = assembly.assemble_csr(mesh1, assembly.element_stiffness(mesh1))
+    st = StencilOperator.build(K, dtype=jnp.float64)
+    assert 0.0 < st.coverage < 1.0  # reference numbering: big remainder
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(mesh1.n_nodes))
+    np.testing.assert_allclose(
+        np.asarray(st.matvec(x)), np.asarray(K.matvec(x)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.diag()), np.asarray(K.diag()), atol=1e-12
+    )
+
+
+def test_stencil_coverage_on_pad_hole_mesh():
+    """pad_hole generation preserves grid numbering: ≥95% of nnz land on
+    static stencil offsets (the O(nnz) TPU SpMV — 43× over banded at 79k
+    nodes, measured on TPU v5e)."""
+    from tpufem.ops.stencil import StencilOperator
+
+    mesh = tpufem.generate_annulus_mesh(n_side=60, n_circle=64, pad_hole=True)
+    assert (mesh.markers == -1).sum() > 0  # dummies exist
+    K = assembly.assemble_csr(mesh, assembly.element_stiffness(mesh))
+    st = StencilOperator.build(K, dtype=jnp.float64)
+    assert st.coverage >= 0.95, st.coverage
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    np.testing.assert_allclose(
+        np.asarray(st.matvec(x)), np.asarray(K.matvec(x)), atol=1e-12
+    )
+
+
+def test_stencil_stokes_run_matches_csr_on_pad_hole_mesh():
+    """Full CG Stokes steps with cg_storage='stencil' on a pad_hole mesh
+    (inert dummy nodes) match the CSR-storage run."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(solver="cg", dt=0.01, nu=1.0, transport="none",
+                cg_iters_visc=40, cg_iters_pressure=120,
+                cg_precond="twolevel")
+    pc = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_storage="csr", **base)
+    )
+    ps = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_storage="stencil", **base)
+    )
+    sc, _ = stokes.run(pc, steps=5)
+    ss, ms = stokes.run(ps, steps=5)
+    uc, us = np.asarray(sc["u"]), np.asarray(ss["u"])
+    assert np.isfinite(us).all()
+    np.testing.assert_allclose(us, uc, atol=1e-9)
+    # dummy nodes stay inert
+    dummies = np.asarray(mesh.markers == -1)
+    assert np.abs(us[dummies]).max() == 0.0
 
 
 def test_twolevel_preconditioner_matches_jacobi_with_fewer_iters(mesh1):

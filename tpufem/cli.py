@@ -100,7 +100,13 @@ def main(argv=None):
     s.add_argument("--frames", type=int, default=400)
     s.add_argument("--size", type=int, default=200)
     s.add_argument("--out", default=None)
-    sub.add_parser("bench")
+    s = sub.add_parser("bench")
+    s.add_argument("--large", action="store_true",
+                   help="large-mesh scaling sweep (tpufem.bench_large)")
+    s.add_argument("--steps", type=int, default=50)
+    s.add_argument("--sizes", default=None)
+    s.add_argument("--precond", default="twolevel")
+    s.add_argument("--bench-out", default=None)
 
     args = parser.parse_args(argv)
     import tpufem
@@ -108,6 +114,16 @@ def main(argv=None):
     tpufem.enable_x64()
 
     if args.cmd == "bench":
+        if args.large:
+            from tpufem import bench_large
+
+            bench_argv = ["--steps", str(args.steps), "--precond", args.precond]
+            if args.sizes:
+                bench_argv += ["--sizes", args.sizes]
+            if args.bench_out:
+                bench_argv += ["--out", args.bench_out]
+            bench_large.main(bench_argv)
+            return
         import bench
 
         bench.main()

@@ -55,6 +55,7 @@ def generate_annulus_mesh(
     inner_marker: int = 2,
     jitter: float = 0.0,
     seed: int = 0,
+    pad_hole: bool = False,
 ) -> Mesh:
     """Unit square with a circular hole — the squirmer domain.
 
@@ -62,6 +63,14 @@ def generate_annulus_mesh(
     marker 2, hole at ``center``; cf. ``/root/reference/resources/mesh5.1.poly``)
     without using Triangle.  Left/right boundary nodes share identical y
     grids so periodic pairing is exact.
+
+    ``pad_hole=True`` keeps the grid points inside the hole as *dummy
+    nodes* (marker −1, no incident triangles, zero operator rows) instead
+    of compacting them away.  This preserves grid-arithmetic node
+    numbering, so mesh operators decompose onto the 9 grid-stencil
+    offsets {0, ±1, ±n, ±(n±1)} and ``ops.stencil.StencilOperator``
+    achieves ≳95% coverage — the O(nnz) large-mesh SpMV.  Costs ~20%
+    extra (inert) rows; use for the solver="cg" scaling regime.
     """
     cx, cy = center
     xs = np.linspace(0.0, L, n_side)
@@ -80,20 +89,33 @@ def generate_annulus_mesh(
     # drop grid points inside (or too close to) the hole, add an exact ring
     d = np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
     keep = d > radius * 1.18
-    pts = pts[keep]
+    kept_ids = np.nonzero(keep)[0]
     theta = np.linspace(0.0, 2 * np.pi, n_circle, endpoint=False)
     ring = np.stack([cx + radius * np.cos(theta), cy + radius * np.sin(theta)], axis=1)
-    coords = np.concatenate([pts, ring], axis=0)
 
-    tri = Delaunay(coords)
-    simplices = tri.simplices.astype(np.int32)
+    if pad_hole:
+        # all grid points stay (hole points become inert dummies);
+        # triangulate only kept + ring, then map ids back to grid slots
+        coords = np.concatenate([pts, ring], axis=0)
+        active = np.concatenate([kept_ids, np.arange(len(pts), len(coords))])
+        tri = Delaunay(coords[active])
+        simplices = active[tri.simplices].astype(np.int32)
+        ring_ids = np.arange(len(pts), len(coords))
+    else:
+        pts = pts[keep]
+        coords = np.concatenate([pts, ring], axis=0)
+        tri = Delaunay(coords)
+        simplices = tri.simplices.astype(np.int32)
+        ring_ids = np.arange(len(pts), len(coords))
+
     # remove triangles whose centroid lies inside the hole
     cent = coords[simplices].mean(axis=1)
     outside = np.hypot(cent[:, 0] - cx, cent[:, 1] - cy) > radius
     simplices = simplices[outside]
 
-    ring_ids = np.arange(len(pts), len(coords))
     markers = np.zeros(coords.shape[0], dtype=np.int32)
+    if pad_hole:
+        markers[np.nonzero(~keep)[0]] = -1  # inert dummy nodes
     on_outer = (
         np.isclose(coords[:, 0], 0.0)
         | np.isclose(coords[:, 0], L)

@@ -1,0 +1,119 @@
+"""Stencil-offset sparse operators — the O(nnz) TPU SpMV.
+
+Banded (RCM) storage reads the whole O(2·bw·N) band envelope per matvec
+even though P1 mesh operators have only ~7 nonzeros per row (band density
+0.4–1.6% at 19k–115k nodes — measured round 2).  TPU gathers cost ~11 ns
+per element, so CSR/ELL forms are no better.  What the TPU *is* fast at
+is static-offset shift-multiply-accumulate (constant-offset
+``dynamic_slice`` + FMA, fully fused by XLA: measured 23× faster than the
+banded sweep at 57k nodes).
+
+This operator therefore decomposes A = Σ_k diag(d_k)·Shift(o_k) + R:
+
+* the ``s`` most frequent column−row offsets become dense diagonals
+  (static offsets — compile-time constants, no gathers);
+* the few entries off those offsets form a small COO remainder applied
+  with one (tiny) gather + scatter-add.
+
+On meshes generated with grid-preserving numbering
+(``generate_annulus_mesh(pad_hole=True)``) the 9 grid-stencil offsets
+cover ≳95% of nnz and the remainder is O(perimeter).  On arbitrary
+orderings the decomposition is still exact — just with a larger
+remainder (``coverage`` reports the split; the auto storage picker falls
+back to banded when coverage is poor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilOperator:
+    offsets: tuple  # (s,) static python ints (column − row)
+    diags: jnp.ndarray  # (s, N): diags[k, r] = A[r, r + offsets[k]]
+    rest_rows: np.ndarray  # (m,) int32, sorted (host/static)
+    rest_cols_j: jnp.ndarray  # (m,) int32 device
+    rest_rows_j: jnp.ndarray  # (m,) int32 device
+    rest_data: jnp.ndarray  # (m,)
+    coverage: float  # fraction of nnz on the stencil offsets
+
+    @property
+    def n(self) -> int:
+        return self.diags.shape[1]
+
+    @classmethod
+    def build(
+        cls,
+        op,
+        dtype=jnp.float32,
+        max_offsets: int = 16,
+        offsets=None,
+    ) -> "StencilOperator":
+        """Decompose a CSROperator; host-side, O(nnz)."""
+        n = op.shape[0]
+        rows = np.asarray(op.row_ids, dtype=np.int64)
+        cols = np.asarray(op.indices, dtype=np.int64)
+        data = np.asarray(op.data, dtype=np.float64)
+        off = cols - rows
+        if offsets is None:
+            vals, counts = np.unique(off, return_counts=True)
+            order = np.argsort(-counts)
+            chosen = list(vals[order[:max_offsets]])
+            if 0 not in chosen:
+                chosen[-1] = 0
+            offsets = sorted(int(o) for o in chosen)
+        else:
+            offsets = sorted(int(o) for o in offsets)
+            assert 0 in offsets, "offset 0 (the diagonal) is required"
+        offsets = tuple(offsets)
+
+        diags = np.zeros((len(offsets), n))
+        in_stencil = np.zeros(len(off), dtype=bool)
+        for k, o in enumerate(offsets):
+            sel = off == o
+            # rows are unique per (row, col) in an assembled CSR pattern
+            diags[k, rows[sel]] = data[sel]
+            in_stencil |= sel
+        rest = ~in_stencil
+        r_rows = rows[rest].astype(np.int32)
+        r_cols = cols[rest].astype(np.int32)
+        r_data = data[rest]
+        o = np.argsort(r_rows, kind="stable")
+        r_rows, r_cols, r_data = r_rows[o], r_cols[o], r_data[o]
+        return cls(
+            offsets=offsets,
+            diags=jnp.asarray(diags, dtype=dtype),
+            rest_rows=r_rows,
+            rest_rows_j=jnp.asarray(r_rows),
+            rest_cols_j=jnp.asarray(r_cols),
+            rest_data=jnp.asarray(r_data, dtype=dtype),
+            coverage=float(in_stencil.mean()) if len(off) else 1.0,
+        )
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = self.n
+        pad = max(max(abs(o) for o in self.offsets), 1)
+        padded = jnp.pad(x, (pad, pad))
+        y = jnp.zeros_like(x)
+        for k, o in enumerate(self.offsets):
+            y = y + self.diags[k] * jax.lax.dynamic_slice(padded, (pad + o,), (n,))
+        if len(self.rest_rows):
+            y = y.at[self.rest_rows_j].add(
+                self.rest_data * x[self.rest_cols_j],
+                indices_are_sorted=True,
+            )
+        return y
+
+    def diag(self) -> jnp.ndarray:
+        d = self.diags[self.offsets.index(0)]
+        same = self.rest_rows_j == self.rest_cols_j  # normally empty
+        if len(self.rest_rows):
+            d = d.at[self.rest_rows_j].add(
+                jnp.where(same, self.rest_data, 0.0), indices_are_sorted=True
+            )
+        return d
