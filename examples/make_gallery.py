@@ -80,11 +80,21 @@ def main(outdir="examples/gallery", quick=False):
         stokes.StokesConfig(dt=0.01, nu=1.0, transport="tracers",
                             pressure_mode="merge"),
     )
-    statef, _ = stokes.run(probf, steps=food_steps)
+    statef, _, food_frames = viz.run_with_frames(
+        probf, steps=food_steps, frame_interval=max(1, food_steps // 40),
+        field=("u", "tracers", "tracer_status"),
+    )
     ax = viz.tracer_frame(mesh, np.asarray(statef["u"]), statef["tracers"],
                           statef["tracer_status"])
     ax.set_title("Squirmer food capture")
     ax.figure.savefig(f"{outdir}/food.png", dpi=110)
+
+    # food movie — the reference's most distinctive visual output
+    # (code/StokesFood.py:507-536 live loop → offline mp4/gif here)
+    food_path = viz.animate_tracers(
+        mesh, food_frames["u"], food_frames["tracers"],
+        food_frames["tracer_status"], path=f"{outdir}/food.mp4", fps=8,
+    )
 
     # dye mixing animation (fluid_squirmer_dye.mp4 equivalent)
     probd = stokes.StokesProblem.build(
@@ -92,7 +102,7 @@ def main(outdir="examples/gallery", quick=False):
     )
     _, _, frames = viz.run_with_frames(probd, steps=anim_steps, frame_interval=anim_int)
     path = viz.animate(mesh, frames, path=f"{outdir}/dye_mixing.mp4", fps=8)
-    print(f"gallery written to {outdir}/ (animation: {path})")
+    print(f"gallery written to {outdir}/ (animations: {path}, {food_path})")
 
 
 if __name__ == "__main__":

@@ -13,3 +13,5 @@ def test_gallery_quick(tmp_path):
     for f in ("mesh.png", "poisson.png", "heat.png", "stokes_flow.png", "food.png"):
         assert f in produced, f
     assert any(f.startswith("dye_mixing") for f in produced)
+    assert any(f.startswith("food.mp4") or f.startswith("food.gif")
+               for f in produced)

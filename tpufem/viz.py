@@ -188,26 +188,84 @@ def animate(
     return path
 
 
-def run_with_frames(problem, steps: int, frame_interval: int, field: str = "c"):
+def animate_tracers(
+    mesh: Mesh,
+    u_frames: Sequence[np.ndarray],
+    tracer_frames: Sequence[np.ndarray],
+    status_frames: Sequence[np.ndarray],
+    path: str = "food.mp4",
+    fps: int = 20,
+    dpi: int = 110,
+    vmax: float = 2.0,
+    writer: str | None = None,
+):
+    """Offline food-run movie: velocity-magnitude tripcolor background +
+    white unit quiver + status-colored tracer scatter per frame — the
+    reference's live StokesFood rendering (code/StokesFood.py:507-536)
+    as an offline FuncAnimation export (scripts/good_visualization2.py:
+    735-744).  Falls back to pillow/gif when ffmpeg is unavailable."""
+    from matplotlib import animation as manim
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    tri = _triangulation(mesh)
+    speed0 = np.linalg.norm(np.asarray(u_frames[0]), axis=1)
+    tpc = ax.tripcolor(tri, speed0, shading="gouraud", cmap="viridis",
+                       vmin=0.0, vmax=vmax)
+    fig.colorbar(tpc, ax=ax, label="|u|")
+    pts0 = np.asarray(tracer_frames[0])
+    scat = ax.scatter(pts0[:, 0], pts0[:, 1], c="blue", s=12, zorder=5,
+                      alpha=0.9)
+    ax.set_aspect("equal")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.set_facecolor("black")
+
+    def update(i):
+        tpc.set_array(np.linalg.norm(np.asarray(u_frames[i]), axis=1))
+        pts = np.asarray(tracer_frames[i])
+        status = np.asarray(status_frames[i])
+        scat.set_offsets(pts)
+        scat.set_color(np.where(status > 0, "red", "blue"))
+        eaten = int((status > 0).sum())
+        ax.set_title(f"frame {i} — eaten {eaten}/{len(status)}")
+        return [tpc, scat]
+
+    ani = manim.FuncAnimation(fig, update, frames=len(tracer_frames), blit=True)
+    if writer is None:
+        writer = "ffmpeg" if manim.writers.is_available("ffmpeg") else "pillow"
+        if writer == "pillow" and path.endswith(".mp4"):
+            path = path[:-4] + ".gif"
+    ani.save(path, writer=writer, fps=fps, dpi=dpi)
+    plt.close(fig)
+    return path
+
+
+def run_with_frames(problem, steps: int, frame_interval: int,
+                    field: str | Sequence[str] = "c"):
     """Run a Stokes simulation in chunks, snapshotting ``field`` between
     chunks — the decoupled version of the reference's in-loop frame lists
     (good_visualization2.py:574-577,724-726).
 
-    ``field`` may be any state key ("c", "u", "tracers", "tracer_status");
-    for the food workload pass "tracers" and render with
-    :func:`tracer_frame`.  Returns (final_state, stacked_metrics_list,
+    ``field`` may be any state key ("c", "u", "tracers", "tracer_status")
+    or a tuple of keys (frames is then a dict key → list) — for the food
+    movie pass ("u", "tracers", "tracer_status") and render with
+    :func:`animate_tracers`.  Returns (final_state, stacked_metrics_list,
     frames).
     """
     from tpufem.workloads import stokes
 
+    keys = (field,) if isinstance(field, str) else tuple(field)
     state = stokes.initial_state(problem)
-    frames = [np.asarray(state[field])]
+    frames = {k: [np.asarray(state[k])] for k in keys}
     metrics_chunks = []
     done = 0
     while done < steps:
         chunk = min(frame_interval, steps - done)
         state, metrics = stokes.run(problem, steps=chunk, state=state)
-        frames.append(np.asarray(state[field]))
+        for k in keys:
+            frames[k].append(np.asarray(state[k]))
         metrics_chunks.append(metrics)
         done += chunk
+    if isinstance(field, str):
+        return state, metrics_chunks, frames[field]
     return state, metrics_chunks, frames
