@@ -200,9 +200,20 @@ def main(argv=None):
     elif args.cmd == "taylorhood":
         from tpufem.workloads import navier_stokes as ns
 
-        u, p, res = ns.solve_taylor_hood(mesh)
-        print(json.dumps({"taylorhood": {"residual": float(res),
-                                         "max_u": float(np.abs(np.asarray(u)).max())}}))
+        if args.steps:  # transient θ-scheme run
+            prob = ns.TransientTHProblem.build(
+                mesh, ns.TransientTHConfig(steps=args.steps)
+            )
+            u, p, metrics = ns.run_transient_th(prob)
+            print(json.dumps({"taylorhood": {
+                "steps": args.steps,
+                "max_u": float(np.abs(np.asarray(u)).max()),
+                "div_max": float(np.asarray(metrics["div_max"])[-1]),
+            }}))
+        else:
+            u, p, res = ns.solve_taylor_hood(mesh)
+            print(json.dumps({"taylorhood": {"residual": float(res),
+                                             "max_u": float(np.abs(np.asarray(u)).max())}}))
         _finish(args, "taylorhood", None, mesh=mesh,
                 field=np.linalg.norm(np.asarray(u), axis=1))
     elif args.cmd == "ad":

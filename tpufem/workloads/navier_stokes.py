@@ -156,20 +156,107 @@ def _p2_quadrature():
     return pts, w
 
 
-def _p2_grads_at(L: np.ndarray, gl: np.ndarray) -> np.ndarray:
-    """∇φ_a at barycentric point L for one element.
+def _p2_quadrature_deg4():
+    """Dunavant 6-point rule — exact to degree 4 (P2·P2 mass integrands)."""
+    a1, a2 = 0.445948490915965, 0.091576213509771
+    w1, w2 = 0.223381589678011, 0.109951743655322
+    pts = np.array(
+        [
+            [1 - 2 * a1, a1, a1], [a1, 1 - 2 * a1, a1], [a1, a1, 1 - 2 * a1],
+            [1 - 2 * a2, a2, a2], [a2, 1 - 2 * a2, a2], [a2, a2, 1 - 2 * a2],
+        ]
+    )
+    w = np.array([w1, w1, w1, w2, w2, w2])
+    return pts, w
 
-    gl: (3, 2) gradients of the barycentric (P1) functions; Triangle's P2
-    node order: corners 1-3, then midpoints opposite each corner.
-    Returns (6, 2)."""
-    g = np.zeros((6, 2))
+
+_P2_PAIRS = [(1, 2), (2, 0), (0, 1)]  # midpoint k is opposite corner k
+
+
+def _p2_values_at(L: np.ndarray) -> np.ndarray:
+    """P2 shape values at barycentric point L → (6,)."""
+    v = np.empty(6)
     for i in range(3):
-        g[i] = (4.0 * L[i] - 1.0) * gl[i]
-    # midpoint opposite corner i is on the edge of the other two corners
-    pairs = [(1, 2), (2, 0), (0, 1)]
-    for k, (a, b) in enumerate(pairs):
-        g[3 + k] = 4.0 * (L[a] * gl[b] + L[b] * gl[a])
+        v[i] = L[i] * (2.0 * L[i] - 1.0)
+    for k, (a, b) in enumerate(_P2_PAIRS):
+        v[3 + k] = 4.0 * L[a] * L[b]
+    return v
+
+
+def _p2_grads_at_batch(L: np.ndarray, gl: np.ndarray) -> np.ndarray:
+    """∇φ_a at barycentric point L for ALL elements: gl (T,3,2) → (T,6,2).
+
+    Triangle's P2 node order: corners 1-3, then midpoints opposite each
+    corner."""
+    g = np.empty((gl.shape[0], 6, 2))
+    for i in range(3):
+        g[:, i] = (4.0 * L[i] - 1.0) * gl[:, i]
+    for k, (a, b) in enumerate(_P2_PAIRS):
+        g[:, 3 + k] = 4.0 * (L[a] * gl[:, b] + L[b] * gl[:, a])
     return g
+
+
+def _th_element_matrices(mesh: Mesh):
+    """Vectorized Taylor–Hood element matrices (VERDICT r1 #6 — replaces
+    the per-element Python loop):
+
+      ke (T,6,6)  ∫ ∇φᵢ·∇φⱼ   (3-midpoint rule, exact for degree 2)
+      me (T,6,6)  ∫ φᵢ φⱼ      (Dunavant 6-point, exact for degree 4)
+      bex/bey (T,3,6)  −∫ ψᵢ ∂φⱼ/∂x|y   (P1 test × P2 gradient)
+
+    plus the pressure-node numbering (corners, p_of_node)."""
+    assert mesh.tris_p2 is not None, "Taylor–Hood needs a 6-node (P2) mesh"
+    tris6 = mesh.tris_p2
+    n2 = mesh.coords.shape[0]
+    corners = np.unique(tris6[:, :3])
+    p_of_node = -np.ones(n2, dtype=np.int64)
+    p_of_node[corners] = np.arange(len(corners))
+
+    gl = mesh.grads  # (T,3,2) barycentric gradients
+    area = mesh.area  # (T,)
+    T = tris6.shape[0]
+    ke = np.zeros((T, 6, 6))
+    bex = np.zeros((T, 3, 6))
+    bey = np.zeros((T, 3, 6))
+    pts, wq = _p2_quadrature()
+    for q in range(len(wq)):
+        g6 = _p2_grads_at_batch(pts[q], gl)  # (T,6,2)
+        wa = (wq[q] * area)[:, None, None]
+        ke += wa * np.einsum("tid,tjd->tij", g6, g6)
+        psi = pts[q]  # (3,) P1 values at the quadrature point
+        bex -= wa * psi[None, :, None] * g6[:, None, :, 0]
+        bey -= wa * psi[None, :, None] * g6[:, None, :, 1]
+    me = np.zeros((T, 6, 6))
+    pts4, wq4 = _p2_quadrature_deg4()
+    for q in range(len(wq4)):
+        phi = _p2_values_at(pts4[q])  # (6,)
+        me += (wq4[q] * area)[:, None, None] * np.outer(phi, phi)[None]
+    return ke, me, bex, bey, corners, p_of_node
+
+
+def _scatter_block(A, rows, cols, elem):
+    """A[rows_i, cols_j] += elem[t, i, j] for all t (dense scatter-add)."""
+    ri = np.repeat(rows, cols.shape[1], axis=1).reshape(-1)
+    ci = np.tile(cols, (1, rows.shape[1])).reshape(-1)
+    np.add.at(A, (ri, ci), elem.reshape(-1))
+
+
+def _th_bc_dofs(mesh: Mesh, config, n2: int):
+    """(dirichlet velocity dofs, their values) for the squirmer TH system."""
+    from tpufem import bc as bc_mod
+
+    outer = np.nonzero(mesh.markers == config.outer_marker)[0]
+    inner = np.nonzero(mesh.markers == config.inner_marker)[0]
+    vals = np.zeros((len(inner), 2))
+    if len(inner):
+        vals = bc_mod.squirmer_values(
+            mesh.coords, inner, config.center, config.B1, config.B2
+        )
+    dofs = np.concatenate([outer, outer + n2, inner, inner + n2])
+    values = np.concatenate(
+        [np.zeros(2 * len(outer)), vals[:, 0], vals[:, 1]]
+    )
+    return dofs.astype(np.int64), values
 
 
 def assemble_taylor_hood(mesh: Mesh, config: TaylorHoodConfig = TaylorHoodConfig()):
@@ -180,62 +267,30 @@ def assemble_taylor_hood(mesh: Mesh, config: TaylorHoodConfig = TaylorHoodConfig
     unstable P1/P1 pair (see assemble_monolithic).  This is the solver
     that mesh was for: LBB-stable, uniquely solvable after pinning one
     pressure dof.  DOF layout [uₓ (N2); u_y (N2); p (N1 corner nodes)].
+    Assembly is fully vectorized (batched quadrature + scatter-add).
     """
-    assert mesh.tris_p2 is not None, "Taylor–Hood needs a 6-node (P2) mesh"
+    ke, _, bex, bey, corners, p_of_node = _th_element_matrices(mesh)
     tris6 = mesh.tris_p2
     n2 = mesh.coords.shape[0]
-    corners = np.unique(tris6[:, :3])
-    p_of_node = -np.ones(n2, dtype=np.int64)
-    p_of_node[corners] = np.arange(len(corners))
     n1 = len(corners)
     total = 2 * n2 + n1
 
-    pts, wq = _p2_quadrature()
     A = np.zeros((total, total))
-    nu = config.nu
-    for t in range(tris6.shape[0]):
-        nodes6 = tris6[t]
-        gl = mesh.grads[t]  # (3,2) barycentric gradients
-        area = mesh.area[t]
-        ke = np.zeros((6, 6))
-        be_x = np.zeros((3, 6))
-        be_y = np.zeros((3, 6))
-        for q in range(3):
-            g6 = _p2_grads_at(pts[q], gl)  # (6,2)
-            ke += (wq[q] * area) * (g6 @ g6.T)
-            psi = pts[q]  # P1 values at the quadrature point
-            be_x -= (wq[q] * area) * np.outer(psi, g6[:, 0])
-            be_y -= (wq[q] * area) * np.outer(psi, g6[:, 1])
-        ux = nodes6
-        uy = nodes6 + n2
-        pd = 2 * n2 + p_of_node[nodes6[:3]]
-        A[np.ix_(ux, ux)] += nu * ke
-        A[np.ix_(uy, uy)] += nu * ke
-        A[np.ix_(pd, ux)] += be_x
-        A[np.ix_(pd, uy)] += be_y
-        A[np.ix_(ux, pd)] += be_x.T
-        A[np.ix_(uy, pd)] += be_y.T
+    ux = tris6.astype(np.int64)
+    uy = ux + n2
+    pd = 2 * n2 + p_of_node[tris6[:, :3]]
+    _scatter_block(A, ux, ux, config.nu * ke)
+    _scatter_block(A, uy, uy, config.nu * ke)
+    _scatter_block(A, pd, ux, bex)
+    _scatter_block(A, pd, uy, bey)
+    _scatter_block(A, ux, pd, np.swapaxes(bex, 1, 2))
+    _scatter_block(A, uy, pd, np.swapaxes(bey, 1, 2))
 
     b = np.zeros(total)
-    outer = np.nonzero(mesh.markers == config.outer_marker)[0]
-    inner = np.nonzero(mesh.markers == config.inner_marker)[0]
-    vals = np.zeros((len(inner), 2))
-    if len(inner):
-        from tpufem import bc as bc_mod
-
-        vals = bc_mod.squirmer_values(
-            mesh.coords, inner, config.center, config.B1, config.B2
-        )
-    for i in outer:
-        for dof in (i, i + n2):
-            A[dof, :] = 0.0
-            A[dof, dof] = 1.0
-            b[dof] = 0.0
-    for k, i in enumerate(inner):
-        for dof, v in ((i, vals[k, 0]), (i + n2, vals[k, 1])):
-            A[dof, :] = 0.0
-            A[dof, dof] = 1.0
-            b[dof] = v
+    dofs, values = _th_bc_dofs(mesh, config, n2)
+    A[dofs, :] = 0.0
+    A[dofs, dofs] = 1.0
+    b[dofs] = values
     pin = 2 * n2
     A[pin, :] = 0.0
     A[pin, pin] = 1.0
@@ -253,6 +308,144 @@ def solve_taylor_hood(mesh: Mesh, config: TaylorHoodConfig = TaylorHoodConfig())
     p = sol[2 * n2 :]
     residual = jnp.linalg.norm(jnp.asarray(A) @ sol - jnp.asarray(b))
     return u, p, residual
+
+
+# ---------------------------------------------------------------------------
+# Transient Taylor–Hood (θ-scheme) — the LBB-stable time-dependent squirmer
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TransientTHConfig(TaylorHoodConfig):
+    dt: float = 0.01
+    steps: int = 200
+    theta: float = 1.0  # 1 = backward Euler, 0.5 = Crank–Nicolson
+    precision: str = "f64"
+
+
+@dataclasses.dataclass(frozen=True)
+class TransientTHProblem:
+    """θ-scheme stepper on the coupled P2/P1 saddle system:
+
+        [M/Δt + θνK   Bᵀ] [uⁿ⁺¹]   [M/Δt uⁿ − (1−θ)νK uⁿ]
+        [B            0 ] [pⁿ⁺¹] = [0]
+
+    with Dirichlet row surgery on velocity + pinned pressure.  The system
+    matrix is constant, so it is factored ONCE on the host and each step
+    is a single (2N₂+N₁)² MXU matvec plus a fused RHS matvec — unlike the
+    reference, whose time-dependent runs only ever use the unstable P1/P1
+    projection (its committed P2 mesh is misread by the P1 loader,
+    ``scripts/navier_stokes.py:363-365``).  Velocity divergence is weakly
+    zero against the full P1 test space — beating the P1/P1 path's known
+    accuracy ceiling (reference README.md:19: "non-zero divergence and
+    checkerboarding effects limited accuracy").
+    """
+
+    mesh: Mesh
+    e_inv: jnp.ndarray  # (total, total) inverse of the θ-system
+    r_op: jnp.ndarray  # (2N2, 2N2) RHS operator M/Δt − (1−θ)νK
+    bc_dofs: np.ndarray
+    bc_values: jnp.ndarray
+    corners: np.ndarray
+    config: TransientTHConfig
+
+    @classmethod
+    def build(cls, mesh: Mesh, config: TransientTHConfig = TransientTHConfig()):
+        from tpufem.utils.host import host_context
+
+        with host_context():
+            ke, me, bex, bey, corners, p_of_node = _th_element_matrices(mesh)
+            tris6 = mesh.tris_p2
+            n2 = mesh.coords.shape[0]
+            n1 = len(corners)
+            total = 2 * n2 + n1
+            dt, th, nu = config.dt, config.theta, config.nu
+
+            E = np.zeros((total, total))
+            R = np.zeros((2 * n2, 2 * n2))
+            ux = tris6.astype(np.int64)
+            uy = ux + n2
+            pd = 2 * n2 + p_of_node[tris6[:, :3]]
+            lhs_e = me / dt + th * nu * ke
+            rhs_e = me / dt - (1.0 - th) * nu * ke
+            _scatter_block(E, ux, ux, lhs_e)
+            _scatter_block(E, uy, uy, lhs_e)
+            _scatter_block(E, pd, ux, bex)
+            _scatter_block(E, pd, uy, bey)
+            _scatter_block(E, ux, pd, np.swapaxes(bex, 1, 2))
+            _scatter_block(E, uy, pd, np.swapaxes(bey, 1, 2))
+            _scatter_block(R, ux, ux, rhs_e)
+            _scatter_block(R, uy, uy, rhs_e)
+
+            dofs, values = _th_bc_dofs(mesh, config, n2)
+            E[dofs, :] = 0.0
+            E[dofs, dofs] = 1.0
+            R[dofs, :] = 0.0  # BC rows carry the BC value directly
+            pin = 2 * n2
+            E[pin, :] = 0.0
+            E[pin, pin] = 1.0
+
+            dtype = jnp.float32 if config.precision == "f32" else jnp.float64
+            return cls(
+                mesh=mesh,
+                e_inv=jnp.asarray(np.linalg.inv(E), dtype=dtype),
+                r_op=jnp.asarray(R, dtype=dtype),
+                bc_dofs=dofs,
+                bc_values=jnp.asarray(values, dtype=dtype),
+                corners=corners,
+                config=config,
+            )
+
+
+def th_step(problem: TransientTHProblem, u_flat: jnp.ndarray):
+    """One θ-step: u_flat (2N2,) → (u_flat', p (N1,), metrics)."""
+    n2 = problem.mesh.coords.shape[0]
+    n1 = len(problem.corners)
+    rhs_v = problem.r_op @ u_flat
+    rhs_v = rhs_v.at[jnp.asarray(problem.bc_dofs)].set(problem.bc_values)
+    rhs = jnp.concatenate([rhs_v, jnp.zeros(n1, dtype=u_flat.dtype)])
+    sol = problem.e_inv @ rhs
+    u_new = sol[: 2 * n2]
+    p = sol[2 * n2 :]
+    u2 = jnp.stack([u_new[:n2], u_new[n2:]], axis=1)
+    div = calculus.divergence(problem.mesh, u2)
+    metrics = {
+        "max_u": jnp.max(jnp.abs(u_new)),
+        "div_max": jnp.max(jnp.abs(div)),
+    }
+    return u_new, p, metrics
+
+
+_TH_RUN_CACHE: dict = {}
+
+
+def run_transient_th(problem: TransientTHProblem, steps: int | None = None):
+    """Scan the TH stepper → (u (N2,2), p (N1,), metrics)."""
+    cfg = problem.config
+    n_steps = steps if steps is not None else cfg.steps
+    n2 = problem.mesh.coords.shape[0]
+    dtype = problem.e_inv.dtype
+    u0 = jnp.zeros(2 * n2, dtype=dtype)
+
+    key = (id(problem), n_steps)
+    hit = _TH_RUN_CACHE.get(key)
+    if hit is not None and hit[0] is problem:
+        scan_all = hit[1]
+    else:
+
+        @jax.jit
+        def scan_all(u0):
+            def body(u, _):
+                u_new, p, m = th_step(problem, u)
+                return u_new, (p, m)
+
+            u, (ps, ms) = jax.lax.scan(body, u0, None, length=n_steps)
+            return u, ps[-1], ms
+
+        _TH_RUN_CACHE[key] = (problem, scan_all)
+    u_flat, p, metrics = scan_all(u0)
+    u = jnp.stack([u_flat[:n2], u_flat[n2:]], axis=1)
+    return u, p, metrics
 
 
 # ---------------------------------------------------------------------------
