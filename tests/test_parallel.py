@@ -53,6 +53,46 @@ def test_sharded_step_matches_single_device(mesh1, dmesh):
     assert np.isfinite(np.asarray(final_div2)).all()
 
 
+def test_sharded_report_ensemble_matches_single(mesh1, dmesh):
+    """Sharded 'report'-variant rotating-cylinder ensemble (VERDICT r1 #7)
+    ≡ per-omega single-device report steps: RHS-overwrite BCs, pinned +
+    de-meaned + smoothed pressure, single projection, BC ramp."""
+    omegas = np.array([2.0, 5.0, -3.0, 8.0])
+    base = dict(
+        variant="report", bc_kind="rotating", solver="inverse",
+        pressure_mode="penalty", ramp_steps=10, pressure_smoothing=0.01,
+        transport="dye", dt=1e-3, nu=0.1,
+    )
+    ens = ShardedEnsemble.build(
+        mesh1, dmesh, config=stokes.StokesConfig(**base), omegas=omegas
+    )
+    assert ens.smooth_inv is not None
+    step = make_sharded_step(ens)
+    state = ens.initial_state()
+    state, final_div = step(state)
+    state, final_div = step(state)
+
+    for i, om in enumerate(omegas):
+        cfg = stokes.StokesConfig(omega=om, **base)
+        prob = stokes.StokesProblem.build(mesh1, cfg)
+        st = stokes.initial_state(prob)
+        step_fn = stokes.make_step(prob, var0=stokes.dye_baseline(prob, st))
+        st, m = step_fn(st, None)
+        st, m = step_fn(st, None)
+        np.testing.assert_allclose(
+            np.asarray(state["u"][i]), np.asarray(st["u"]), atol=2e-6,
+            err_msg=f"sim {i} (omega={om}) velocity mismatch",
+        )
+        np.testing.assert_allclose(
+            np.asarray(state["c"][i]), np.asarray(st["c"]), atol=2e-6
+        )
+        np.testing.assert_allclose(
+            float(final_div[i]), float(m["final_div_max"]), atol=2e-5,
+            err_msg=f"sim {i} final-div mismatch",
+        )
+    assert int(np.asarray(state["step"])[0]) == 2
+
+
 def test_sharded_tracer_ensemble_matches_single(mesh1, dmesh):
     """Sharded food-capture ensemble ≡ per-gait single-device runs."""
     b1s = np.full(4, -2.0)

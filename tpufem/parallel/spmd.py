@@ -68,33 +68,53 @@ class ShardedEnsemble:
 
     problem: stokes.StokesProblem
     device_mesh: DeviceMesh
-    inner_values: jnp.ndarray  # (B, k, 2) per-simulation squirmer values
+    inner_values: jnp.ndarray  # (B, k, 2) per-simulation surface velocities
     visc_inv: jnp.ndarray  # (N_pad, N) row-shardable
     pressure_inv: jnp.ndarray  # (N_pad, N)
     n_pad: int
+    smooth_inv: Any = None  # (N_pad, N) pressure-smoothing inverse (report)
 
     @classmethod
     def build(
         cls,
         mesh: Mesh,
         device_mesh: DeviceMesh,
-        b1s: np.ndarray,
-        b2s: np.ndarray,
+        b1s: np.ndarray | None = None,
+        b2s: np.ndarray | None = None,
         config: stokes.StokesConfig | None = None,
+        omegas: np.ndarray | None = None,
     ) -> "ShardedEnsemble":
+        """Squirmer ensembles sweep (b1s, b2s); rotating-cylinder ensembles
+        (``config.bc_kind='rotating'``, e.g. the "report" variant) sweep
+        ``omegas``.  Any ``config.variant`` is supported — the step builder
+        mirrors the matching single-device projection."""
         config = config or stokes.StokesConfig(solver="inverse")
         assert config.solver == "inverse", "sharded path requires matvec solvers"
         problem = stokes.StokesProblem.build(mesh, config)
         inner = problem.boundary.inner
-        vals = np.stack(
-            [
-                bc.squirmer_values(mesh.coords, inner, config.center, b1, b2)
-                for b1, b2 in zip(b1s, b2s)
-            ]
-        )
+        if config.bc_kind == "rotating":
+            assert omegas is not None, "rotating ensembles sweep omegas"
+            vals = np.stack(
+                [
+                    bc.rotating_cylinder_values(mesh.coords, inner, config.center, om)
+                    for om in omegas
+                ]
+            )
+        else:
+            vals = np.stack(
+                [
+                    bc.squirmer_values(mesh.coords, inner, config.center, b1, b2)
+                    for b1, b2 in zip(b1s, b2s)
+                ]
+            )
         space = device_mesh.shape["space"]
         visc_inv = _pad_rows(np.asarray(problem.visc_solver.inv), space)
         pressure_inv = _pad_rows(np.asarray(problem.pressure_solver.inv), space)
+        smooth_inv = None
+        if problem.smooth_solver is not None:
+            smooth_inv = jnp.asarray(
+                _pad_rows(np.asarray(problem.smooth_solver.inv), space)
+            )
         return cls(
             problem=problem,
             device_mesh=device_mesh,
@@ -102,6 +122,7 @@ class ShardedEnsemble:
             visc_inv=jnp.asarray(visc_inv),
             pressure_inv=jnp.asarray(pressure_inv),
             n_pad=visc_inv.shape[0],
+            smooth_inv=smooth_inv,
         )
 
     @property
@@ -118,7 +139,7 @@ class ShardedEnsemble:
         u = jax.vmap(lambda uu, vv: _apply_bcs_batched(problem, uu, vv))(
             u, self.inner_values
         )
-        state = {"u": u}
+        state = {"u": u, "step": jnp.zeros(b, dtype=jnp.int32)}
         if self.transport == "tracers":
             pts = jnp.asarray(problem.tracer_init, dtype=dtype)
             state["tracers"] = jnp.tile(pts[None], (b, 1, 1))
@@ -283,20 +304,36 @@ def make_sharded_step(ensemble: ShardedEnsemble, _jit: bool = True):
         return new_pts, new_status
 
     uses_tracers = ensemble.transport == "tracers"
-    state_spec = (
-        {"u": P("data"), "tracers": P("data"), "tracer_status": P("data")}
-        if uses_tracers
-        else {"u": P("data"), "c": P("data")}
+    base_spec = {"u": P("data"), "step": P("data")}
+    state_spec = dict(
+        base_spec,
+        **(
+            {"tracers": P("data"), "tracer_status": P("data")}
+            if uses_tracers
+            else {"c": P("data")}
+        ),
     )
+    is_report = cfg.variant == "report"
+    has_smooth = ensemble.smooth_inv is not None
+    walls = jnp.asarray(problem.boundary.walls)
+    inner_idx = jnp.asarray(problem.boundary.inner)
+    masters, slaves = problem.boundary.masters, problem.boundary.slaves
+    pin = problem.pressure_pin
 
-    @partial(
-        shard_map,
-        mesh=dmesh,
-        in_specs=(state_spec, P("space", None), P("space", None), P("data")),
-        out_specs=(state_spec, P("data")),
-        check_vma=False,
-    )
-    def step(state, visc_inv_rows, press_inv_rows, inner_vals):
+    def transport_update(state, u_new):
+        new = {}
+        if uses_tracers:
+            new["tracers"], new["tracer_status"] = tracers_step(
+                state["tracers"], state["tracer_status"], u_new
+            )
+            per_sim = jnp.sum(new["tracer_status"], axis=1).astype(u_new.dtype)
+        else:
+            new["c"] = advect(state["c"], u_new)
+            per_sim = None
+        return new, per_sim
+
+    def color_step(state, visc_inv_rows, press_inv_rows, inner_vals):
+        """The StokesColor double projection (per-sim squirmer values)."""
         u = state["u"]
         u_star = apply_bcs(matvec(visc_inv_rows, u), inner_vals)
         p = matvec(press_inv_rows, -div(u_star) / dt)
@@ -304,20 +341,88 @@ def make_sharded_step(ensemble: ShardedEnsemble, _jit: bool = True):
         p2 = matvec(press_inv_rows, -div(u_new) / dt)
         g2 = grad(p2)
         u_new = u_new.at[:, interior].add(-dt * g2[:, interior])
-        new_state = {"u": u_new}
-        if uses_tracers:
-            new_state["tracers"], new_state["tracer_status"] = tracers_step(
-                state["tracers"], state["tracer_status"], u_new
-            )
-            per_sim = jnp.sum(new_state["tracer_status"], axis=1).astype(
-                u_new.dtype
-            )  # eaten count per sim
-        else:
-            new_state["c"] = advect(state["c"], u_new)
+        new_state = {"u": u_new, "step": state["step"] + 1}
+        tr, per_sim = transport_update(state, u_new)
+        new_state.update(tr)
+        if per_sim is None:
             per_sim = jnp.max(jnp.abs(div(u_new)), axis=1)
         return new_state, per_sim
 
+    def report_step(state, visc_inv_rows, press_inv_rows, smooth_inv_rows,
+                    inner_vals):
+        """The 'report' step, batched — mirrors
+        :func:`stokes._report_projection_step` (RHS-overwrite BCs, pinned +
+        de-meaned pressure, optional smoothing, single projection) with a
+        per-sim BC ramp."""
+        u = state["u"]
+        if cfg.ramp_steps > 0:
+            scale = jnp.minimum(
+                (state["step"] + 1).astype(u.dtype) / cfg.ramp_steps, 1.0
+            )
+        else:
+            scale = jnp.ones(u.shape[0], dtype=u.dtype)
+        vals = inner_vals.astype(u.dtype) * scale[:, None, None]
+        outer_v = jnp.asarray(cfg.outer_value, dtype=u.dtype)
+        f = jnp.asarray(cfg.body_force, dtype=u.dtype)
+
+        rhs = u + dt * f
+        rhs = rhs.at[:, walls].set(outer_v)
+        rhs = rhs.at[:, inner_idx].set(vals)
+        u_star = matvec(visc_inv_rows, rhs)
+        if len(masters):
+            u_star = jax.vmap(
+                lambda uu: bc.apply_periodic_field(uu, masters, slaves)
+            )(u_star)
+
+        b_p = -div(u_star) / dt
+        b_p = b_p - jnp.mean(b_p, axis=1, keepdims=True)
+        b_p = b_p.at[:, pin].set(0.0)
+        p = matvec(press_inv_rows, b_p)
+        if smooth_inv_rows is not None:
+            p = p.at[:, pin].set(0.0)
+            p = matvec(smooth_inv_rows, p)
+            p = p - jnp.mean(p, axis=1, keepdims=True)
+
+        u_new = u_star - dt * grad(p)
+        final_div = div(u_new)  # measured before BC re-application
+        u_new = u_new.at[:, walls].set(outer_v)
+        if len(masters):
+            u_new = jax.vmap(
+                lambda uu: bc.apply_periodic_field(uu, masters, slaves)
+            )(u_new)
+        u_new = u_new.at[:, inner_idx].set(vals)
+        new_state = {"u": u_new, "step": state["step"] + 1}
+        tr, per_sim = transport_update(state, u_new)
+        new_state.update(tr)
+        if per_sim is None:
+            per_sim = jnp.max(jnp.abs(final_div), axis=1)
+        return new_state, per_sim
+
+    op_specs = (P("space", None), P("space", None)) + (
+        (P("space", None),) if (is_report and has_smooth) else ()
+    )
+
+    @partial(
+        shard_map,
+        mesh=dmesh,
+        in_specs=(state_spec,) + op_specs + (P("data"),),
+        out_specs=(state_spec, P("data")),
+        check_vma=False,
+    )
+    def step(state, visc_inv_rows, press_inv_rows, *rest):
+        if is_report:
+            smooth_rows = rest[0] if has_smooth else None
+            inner_vals = rest[-1]
+            return report_step(
+                state, visc_inv_rows, press_inv_rows, smooth_rows, inner_vals
+            )
+        (inner_vals,) = rest
+        return color_step(state, visc_inv_rows, press_inv_rows, inner_vals)
+
     def raw(state):
-        return step(state, ensemble.visc_inv, ensemble.pressure_inv, ensemble.inner_values)
+        ops = (ensemble.visc_inv, ensemble.pressure_inv) + (
+            (ensemble.smooth_inv,) if (is_report and has_smooth) else ()
+        )
+        return step(state, *ops, ensemble.inner_values)
 
     return jax.jit(raw) if _jit else raw
