@@ -188,6 +188,10 @@ def test_viz_static_plots(mesh1, dye_problem, tmp_path):
         path=str(tmp_path / "dash.png"),
     )
     assert (tmp_path / "dash.png").stat().st_size > 10000
+    # cubic-interpolated streamline variant (good_visualization.py:729-740)
+    ax3 = viz.plot_streamlines(mesh1, u, interp="cubic", grid_n=40)
+    ax3.figure.savefig(tmp_path / "stream_cubic.png")
+    assert (tmp_path / "stream_cubic.png").stat().st_size > 1000
 
 
 def test_viz_animation(mesh1, dye_problem, tmp_path):

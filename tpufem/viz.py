@@ -83,15 +83,25 @@ def plot_velocity(mesh: Mesh, u, ax=None, skip=3, scale=10.0, background=None,
     return ax
 
 
-def plot_streamlines(mesh: Mesh, u, ax=None, density=1.2, grid_n=100):
-    """Streamlines via grid interpolation (stokes_clean_for_report.py:565-569)."""
+def plot_streamlines(mesh: Mesh, u, ax=None, density=1.2, grid_n=100,
+                     interp: str = "linear"):
+    """Streamlines via grid interpolation (stokes_clean_for_report.py:565-569).
+
+    ``interp="cubic"`` reproduces the smoother ``griddata(..., 'cubic')``
+    dashboards of ``scripts/good_visualization.py:729-740``."""
     if ax is None:
         _, ax = plt.subplots(figsize=(6, 6))
-    u = np.asarray(u)
+    # writable copy: CubicTriInterpolator renumbers z in place, and arrays
+    # exported from jax are read-only views
+    u = np.array(u)
     tri = _triangulation(mesh)
     gx, gy = np.meshgrid(np.linspace(0.01, 0.99, grid_n), np.linspace(0.01, 0.99, grid_n))
-    ux = mtri.LinearTriInterpolator(tri, u[:, 0])(gx, gy)
-    uy = mtri.LinearTriInterpolator(tri, u[:, 1])(gx, gy)
+    if interp == "cubic":
+        make = lambda f: mtri.CubicTriInterpolator(tri, f, kind="geom")
+    else:
+        make = lambda f: mtri.LinearTriInterpolator(tri, f)
+    ux = make(u[:, 0])(gx, gy)
+    uy = make(u[:, 1])(gx, gy)
     ax.streamplot(gx, gy, ux.filled(0.0), uy.filled(0.0), density=density, color="w")
     ax.set_aspect("equal")
     return ax
