@@ -118,6 +118,29 @@ def divergence_matrices(mesh: Mesh):
     return inv_area[:, None] * Dx, inv_area[:, None] * Dy
 
 
+def divergence_csr_operators(mesh: Mesh):
+    """(Dx, Dy) as static CSR operators — the sparse (large-mesh) form of
+    :func:`divergence_matrices`, sharing the stiffness sparsity pattern.
+
+    The gather/segment-sum pipelines of :func:`divergence`/:func:`gradient`
+    cost ~17–26 ms per call at 160k nodes on TPU; as assembled sparse
+    operators (stencil storage on pad_hole meshes) the same maps run in
+    ~0.5 ms — div(u) = Dx uₓ + Dy u_y and ∇p = (Dx p, Dy p)."""
+    from tpufem.ops import assembly
+
+    t, n = mesh.n_tris, mesh.n_nodes
+    w = np.where(mesh.valid, mesh.area / 3.0, 0.0)
+    ex = np.broadcast_to((w[:, None] * mesh.grads[:, :, 0])[:, None, :], (t, 3, 3))
+    ey = np.broadcast_to((w[:, None] * mesh.grads[:, :, 1])[:, None, :], (t, 3, 3))
+    area_sum = np.zeros(n)
+    np.add.at(area_sum, mesh.tris.reshape(-1), np.repeat(w, 3))
+    inv_area = 1.0 / (area_sum + _EPS_AREA)
+    dx = assembly.assemble_csr(mesh, jnp.asarray(ex))
+    dy = assembly.assemble_csr(mesh, jnp.asarray(ey))
+    scale = jnp.asarray(inv_area)[jnp.asarray(dx.row_ids)]
+    return dx.with_data(dx.data * scale), dy.with_data(dy.data * scale)
+
+
 def gradient_matrices(mesh: Mesh):
     """(Gx, Gy) host NumPy (N, N) with ∇p = (Gx p, Gy p) — the lumped
     nodal gradient as dense operators (same construction as

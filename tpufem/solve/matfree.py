@@ -99,6 +99,9 @@ class PressureCG:
     cheby_degree: int = 4
     lmax: float = 0.0  # power-iteration estimate (build-time)
     twolevel: object = None  # solve.twolevel.TwoLevel (precond="twolevel")
+    tol: float = 0.0  # > 0: tolerance-based while-loop CG (early exit —
+    # with warm starts the steady-state solves finish in a few iterations
+    # instead of the full fixed count; ``iters`` becomes the cap)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.K_merged.matvec(x)
@@ -132,15 +135,29 @@ class PressureCG:
             M = lambda r: inv_diag * r
         if x0 is not None:
             x0 = x0 * self.active_mask
-        p, _ = cg_fixed(
-            self.matvec,
-            rhs,
-            x0=x0,
-            iters=self.iters,
-            precond=M,
-            deflate=True,
-            deflate_weights=self.active_mask,
-        )
+        if self.tol > 0:
+            from tpufem.solve.cg import cg
+
+            p, _ = cg(
+                self.matvec,
+                rhs,
+                x0=x0,
+                tol=self.tol,
+                maxiter=self.iters,
+                precond=M,
+                deflate=True,
+                deflate_weights=self.active_mask,
+            )
+        else:
+            p, _ = cg_fixed(
+                self.matvec,
+                rhs,
+                x0=x0,
+                iters=self.iters,
+                precond=M,
+                deflate=True,
+                deflate_weights=self.active_mask,
+            )
         if len(self.masters):
             p = p.at[jnp.asarray(self.slaves)].set(p[jnp.asarray(self.masters)])
         return p

@@ -77,6 +77,9 @@ class StokesConfig:
     # | "auto" (stencil-if-covered/banded on accelerators, csr on CPU)
     cg_warm_start: bool = True  # warm-start pressure CG from the previous
     # step's pressure (big iteration savings near steady state)
+    cg_tol_pressure: float = 0.0  # > 0: early-exit while-loop pressure CG
+    # (relative tolerance; cg_iters_pressure becomes the cap) — with warm
+    # starts the steady-state solves finish in a few iterations
     cg_precond: str = "jacobi"  # | "chebyshev" (degree-k polynomial smoother:
     # fewer OUTER iterations — useful when per-iteration collective latency
     # dominates (distributed CG); measured per-matvec efficiency on the
@@ -152,6 +155,8 @@ class StokesProblem:
     eul_M: jnp.ndarray | None = None  # consistent mass (Eulerian dye)
     eul_K: jnp.ndarray | None = None  # stiffness (Eulerian/griddata dye)
     eul_Mg: jnp.ndarray | None = None  # periodic merge map (f32 dye path)
+    mf_dx: Any = None  # sparse div/grad operators (matfree large-mesh
+    mf_dy: Any = None  # path; same storage as the CG operators)
 
     @property
     def dtype(self):
@@ -160,11 +165,17 @@ class StokesProblem:
     def div(self, u: jnp.ndarray) -> jnp.ndarray:
         if self.div_x is not None:
             return self.div_x @ u[:, 0] + self.div_y @ u[:, 1]
+        if self.mf_dx is not None:
+            return self.mf_dx.matvec(u[:, 0]) + self.mf_dy.matvec(u[:, 1])
         return calculus.divergence(self.mesh, u)
 
     def grad(self, p: jnp.ndarray) -> jnp.ndarray:
         if self.div_x is not None:
             return jnp.stack([self.div_x @ p, self.div_y @ p], axis=1)
+        if self.mf_dx is not None:
+            return jnp.stack(
+                [self.mf_dx.matvec(p), self.mf_dy.matvec(p)], axis=1
+            )
         return calculus.gradient(self.mesh, p)
 
     @classmethod
@@ -183,7 +194,7 @@ class StokesProblem:
             "uses the dense stiffness); use solver='lu'/'inverse'"
         )
         assert not config.fused, "fused and cg are mutually exclusive"
-        visc, pressure = _build_matfree_problem_fields(
+        visc, pressure, mf_dx, mf_dy = _build_matfree_problem_fields(
             mesh, config, boundary, m_lumped, dtype
         )
         tracer_init = None
@@ -202,6 +213,8 @@ class StokesProblem:
             locator=_make_locator(mesh, config),
             tracer_init=tracer_init,
             config=config,
+            mf_dx=mf_dx,
+            mf_dy=mf_dy,
         )
 
     @classmethod
@@ -457,8 +470,10 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
         cheby_degree=config.cg_cheby_degree,
         lmax=lmax,
         twolevel=tl,
+        tol=config.cg_tol_pressure,
     )
-    return visc, pressure
+    dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
+    return visc, pressure, materialize(dx_csr), materialize(dy_csr)
 
 
 def _compose_fused_step(mesh, boundary, inner_values, A_visc, A_eff, dx, dy, config):
