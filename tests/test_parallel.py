@@ -53,6 +53,54 @@ def test_sharded_step_matches_single_device(mesh1, dmesh):
     assert np.isfinite(np.asarray(final_div2)).all()
 
 
+def test_multimesh_ensemble_matches_per_mesh_single_device(dmesh):
+    """Per-simulation MESHES (jittered geometry realizations): the sharded
+    ensemble step ≡ per-mesh single-device steps (TODO r1 'per-sim
+    meshes').  pad_hole generation keeps node counts and boundary index
+    sets identical across seeds, so only the interior geometry varies."""
+    import tpufem
+    from tpufem.parallel import MultiMeshEnsemble, make_multimesh_step
+
+    meshes = [
+        tpufem.generate_annulus_mesh(
+            n_side=14, n_circle=16, pad_hole=True, jitter=0.15, seed=s
+        )
+        for s in range(4)
+    ]
+    assert len({m.n_nodes for m in meshes}) == 1
+    assert any(
+        not np.array_equal(meshes[0].coords, m.coords) for m in meshes[1:]
+    )
+    b1s = np.full(4, -2.0)
+    b2s = np.array([0.0, 5.0, -5.0, 2.0])
+    cfg = stokes.StokesConfig(
+        solver="inverse", pressure_mode="merge", transport="none"
+    )
+    ens = MultiMeshEnsemble.build(meshes, dmesh, b1s, b2s, config=cfg)
+    step = make_multimesh_step(ens)
+    state = ens.initial_state()
+    state, fd = step(state)
+    state, fd = step(state)
+
+    for i, (m, b1, b2) in enumerate(zip(meshes, b1s, b2s)):
+        prob = stokes.StokesProblem.build(
+            m, stokes.StokesConfig(B1=b1, B2=b2, solver="inverse",
+                                   pressure_mode="merge", transport="none")
+        )
+        st = stokes.initial_state(prob)
+        step_fn = stokes.make_step(prob)
+        st, mm = step_fn(st, None)
+        st, mm = step_fn(st, None)
+        np.testing.assert_allclose(
+            np.asarray(state["u"][i]), np.asarray(st["u"]), atol=1e-8,
+            err_msg=f"sim {i} (seed {i}) velocity mismatch",
+        )
+        np.testing.assert_allclose(
+            float(fd[i]), float(mm["final_div_max"]), atol=1e-8
+        )
+    assert np.isfinite(np.asarray(fd)).all()
+
+
 def test_sharded_report_ensemble_matches_single(mesh1, dmesh):
     """Sharded 'report'-variant rotating-cylinder ensemble (VERDICT r1 #7)
     ≡ per-omega single-device report steps: RHS-overwrite BCs, pinned +

@@ -1,6 +1,8 @@
 from tpufem.parallel.spmd import (
+    MultiMeshEnsemble,
     ShardedEnsemble,
     build_device_mesh,
+    make_multimesh_step,
     make_sharded_step,
     run_sharded,
 )
@@ -12,8 +14,10 @@ from tpufem.parallel.halo import (
 from tpufem.parallel.stokes_sharded import make_sharded_matfree_step
 
 __all__ = [
+    "MultiMeshEnsemble",
     "ShardedEnsemble",
     "build_device_mesh",
+    "make_multimesh_step",
     "make_sharded_step",
     "run_sharded",
     "make_sharded_viscous_solver",

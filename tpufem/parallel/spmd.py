@@ -165,6 +165,175 @@ def _apply_bcs_batched(problem, u, inner_vals):
 
 
 # ---------------------------------------------------------------------------
+# Per-simulation meshes (geometry ensembles)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiMeshEnsemble:
+    """An ensemble where every simulation runs on its OWN mesh (e.g.
+    jittered geometry realizations from ``generate_annulus_mesh(jitter=…,
+    pad_hole=True, seed=k)`` — same node count and identical boundary
+    index sets, different interior geometry).  All per-sim operators
+    (viscous/pressure inverses, dense div/grad) are stacked on the batch
+    axis and row-sharded over "space"; the batch is sharded over "data".
+    TODO.md round-1: "per-sim meshes"."""
+
+    meshes: tuple
+    device_mesh: DeviceMesh
+    inner_values: jnp.ndarray  # (B, k, 2)
+    visc_inv: jnp.ndarray  # (B, N_pad, N)
+    pressure_inv: jnp.ndarray  # (B, N_pad, N)
+    div_x: jnp.ndarray  # (B, N_pad, N)
+    div_y: jnp.ndarray  # (B, N_pad, N)
+    config: stokes.StokesConfig
+
+    @classmethod
+    def build(
+        cls,
+        meshes,
+        device_mesh: DeviceMesh,
+        b1s: np.ndarray,
+        b2s: np.ndarray,
+        config: stokes.StokesConfig | None = None,
+    ) -> "MultiMeshEnsemble":
+        config = config or stokes.StokesConfig(
+            solver="inverse", pressure_mode="merge", transport="none"
+        )
+        assert config.solver == "inverse" and config.dense_ops, (
+            "per-sim meshes ride stacked dense operators"
+        )
+        assert config.transport == "none", (
+            "per-sim transport needs per-sim locators — not supported yet"
+        )
+        assert len(meshes) == len(b1s) == len(b2s)
+        probs = [stokes.StokesProblem.build(m, config) for m in meshes]
+        b0 = probs[0].boundary
+        for p in probs[1:]:
+            for f in ("walls", "inner", "masters", "slaves", "interior"):
+                assert np.array_equal(getattr(p.boundary, f), getattr(b0, f)), (
+                    f"per-sim meshes must share boundary index sets ({f}) — "
+                    "use the same pad_hole generator parameters"
+                )
+        space = device_mesh.shape["space"]
+
+        def stack(get):
+            return jnp.asarray(
+                np.stack([_pad_rows(np.asarray(get(p)), space) for p in probs])
+            )
+
+        vals = np.stack(
+            [
+                bc.squirmer_values(m.coords, b0.inner, config.center, b1, b2)
+                for m, b1, b2 in zip(meshes, b1s, b2s)
+            ]
+        )
+        return cls(
+            meshes=tuple(meshes),
+            device_mesh=device_mesh,
+            inner_values=jnp.asarray(vals),
+            visc_inv=stack(lambda p: p.visc_solver.inv),
+            pressure_inv=stack(lambda p: p.pressure_solver.inv),
+            div_x=stack(lambda p: p.div_x),
+            div_y=stack(lambda p: p.div_y),
+            config=config,
+        )
+
+    def initial_state(self) -> dict:
+        b = self.inner_values.shape[0]
+        n = self.meshes[0].n_nodes
+        dtype = self.inner_values.dtype
+        u = jnp.zeros((b, n, 2), dtype=dtype)
+        u = jax.vmap(
+            lambda uu, vv: _apply_bcs_shared(
+                self.meshes[0], self.config, uu, vv
+            )
+        )(u, self.inner_values)
+        return {"u": u, "step": jnp.zeros(b, dtype=jnp.int32)}
+
+
+def _apply_bcs_shared(mesh0, config, u, inner_vals):
+    from tpufem import bc as bc_mod
+
+    boundary = bc_mod.ChannelBoundary.build(
+        mesh0, inner_marker=config.inner_marker, L=config.L, H=config.H,
+        tol=config.tol, all_walls=config.all_walls,
+    )
+    if len(boundary.masters):
+        u = bc_mod.apply_periodic_field(u, boundary.masters, boundary.slaves)
+    u = u.at[jnp.asarray(boundary.walls)].set(
+        jnp.asarray(config.outer_value, dtype=u.dtype)
+    )
+    return u.at[jnp.asarray(boundary.inner)].set(inner_vals.astype(u.dtype))
+
+
+def make_multimesh_step(ensemble: MultiMeshEnsemble, _jit: bool = True):
+    """(data, space)-sharded double-projection step with PER-SIM operators:
+    every matvec is a batched per-sim row-block einsum + all_gather."""
+    cfg = ensemble.config
+    dmesh = ensemble.device_mesh
+    mesh0 = ensemble.meshes[0]
+    n = mesh0.n_nodes
+    dt = cfg.dt
+    boundary = bc.ChannelBoundary.build(
+        mesh0, inner_marker=cfg.inner_marker, L=cfg.L, H=cfg.H,
+        tol=cfg.tol, all_walls=cfg.all_walls,
+    )
+    interior = jnp.asarray(boundary.interior)
+
+    def mv(rows_, x):
+        """(Bl, Nl, N) per-sim row blocks @ (Bl, N, ...) → (Bl, N, ...)."""
+        part = jnp.einsum("brn,bn...->br...", rows_, x)
+        return jax.lax.all_gather(part, "space", axis=1, tiled=True)[:, :n]
+
+    masters, slaves = boundary.masters, boundary.slaves
+    walls = jnp.asarray(boundary.walls)
+    inner_idx = jnp.asarray(boundary.inner)
+    outer_v = jnp.asarray(cfg.outer_value)
+
+    def apply_bcs(u, inner_vals):
+        if len(masters):
+            u = jax.vmap(lambda uu: bc.apply_periodic_field(uu, masters, slaves))(u)
+        u = u.at[:, walls].set(outer_v.astype(u.dtype))
+        return u.at[:, inner_idx].set(inner_vals.astype(u.dtype))
+
+    state_spec = {"u": P("data"), "step": P("data")}
+    op_spec = P("data", "space", None)
+
+    @partial(
+        shard_map,
+        mesh=dmesh,
+        in_specs=(state_spec, op_spec, op_spec, op_spec, op_spec, P("data")),
+        out_specs=(state_spec, P("data")),
+        check_vma=False,
+    )
+    def step(state, visc, press, dxr, dyr, inner_vals):
+        def div(u):
+            return mv(dxr, u[..., 0]) + mv(dyr, u[..., 1])
+
+        def grad(p):
+            return jnp.stack([mv(dxr, p), mv(dyr, p)], axis=-1)
+
+        u = state["u"]
+        u_star = apply_bcs(mv(visc, u), inner_vals)
+        p = mv(press, -div(u_star) / dt)
+        u_new = apply_bcs(u_star - dt * grad(p), inner_vals)
+        p2 = mv(press, -div(u_new) / dt)
+        g2 = grad(p2)
+        u_new = u_new.at[:, interior].add(-dt * g2[:, interior])
+        final_div = jnp.max(jnp.abs(div(u_new)), axis=1)
+        return {"u": u_new, "step": state["step"] + 1}, final_div
+
+    def raw(state):
+        return step(
+            state, ensemble.visc_inv, ensemble.pressure_inv,
+            ensemble.div_x, ensemble.div_y, ensemble.inner_values,
+        )
+
+    return jax.jit(raw) if _jit else raw
+
+
+# ---------------------------------------------------------------------------
 # Element-sharded divergence / gradient (psum-assembled)
 # ---------------------------------------------------------------------------
 
