@@ -319,3 +319,59 @@ def test_cg_large_generated_mesh():
     # squirmer drives flow; projection keeps it bounded
     assert 0 < np.abs(u).max() < 50.0
     assert float(metrics["final_div_max"][-1]) < float(metrics["div_star_max"][-1]) * 5
+
+
+def test_tol_viscous_cg_warm_start_matches_fixed():
+    """Warm-started early-exit viscous CG (cg_tol_visc > 0) tracks the
+    fixed-iteration run — the steady-state fast path where the batched
+    (u_x, u_y) solve exits after a handful of iterations instead of the
+    full cap."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(dt=0.01, nu=1.0, transport="none", solver="cg",
+                cg_storage="csr", precision="f32", cg_iters_visc=30,
+                cg_iters_pressure=60, cg_precond="twolevel",
+                cg_warm_start=True, cg_tol_pressure=1e-5)
+    pf = stokes.StokesProblem.build(mesh, stokes.StokesConfig(**base))
+    pt = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(**base, cg_tol_visc=1e-6)
+    )
+    sf, mf = stokes.run(pf, steps=20)
+    st, mt = stokes.run(pt, steps=20)
+    uf, ut = np.asarray(sf["u"]), np.asarray(st["u"])
+    assert "ustar_warm" in st
+    assert np.isfinite(ut).all()
+    err = np.abs(uf - ut).max() / np.abs(uf).max()
+    assert err < 1e-4, err
+    np.testing.assert_allclose(
+        np.asarray(mt["final_div_max"])[-1],
+        np.asarray(mf["final_div_max"])[-1],
+        rtol=1e-3,
+    )
+
+
+def test_twolevel_bf16_coarse_matches_f32(mesh1):
+    """cg_coarse_dtype='bf16' (half the coarse-matvec HBM bytes) reaches
+    the same pressure solution — elementwise rounding keeps the coarse
+    inverse symmetric and the perturbation is far below the smoother's
+    approximation level (measured: identical iteration counts at 26k)."""
+    from tpufem.ops import calculus
+
+    base = dict(solver="cg", cg_iters_pressure=60, cg_precond="twolevel",
+                cg_coarse_nodes=64)
+    f32 = stokes.StokesProblem.build(
+        mesh1, stokes.StokesConfig(**base)
+    ).pressure_solver
+    b16 = stokes.StokesProblem.build(
+        mesh1, stokes.StokesConfig(**base, cg_coarse_dtype="bf16")
+    ).pressure_solver
+    assert b16.twolevel.ac_inv.dtype == jnp.bfloat16
+
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.standard_normal((mesh1.n_nodes, 2)))
+    b = -stokes.calculus.divergence(mesh1, u) / 0.05
+    act = np.asarray(f32.active_mask) > 0
+    p1 = np.asarray(f32.solve(b))
+    p2 = np.asarray(b16.solve(b))
+    np.testing.assert_allclose(
+        p2[act] - p2[act].mean(), p1[act] - p1[act].mean(), atol=1e-6
+    )

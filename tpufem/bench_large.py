@@ -31,7 +31,7 @@ SIZES = [
 ]
 
 
-def bench_config(precond: str = "twolevel"):
+def bench_config(precond: str = "twolevel", n_nodes: int = 0):
     from tpufem.workloads import stokes
 
     # two-level + warm start + tolerance CG: steady-state pressure solves
@@ -41,6 +41,11 @@ def bench_config(precond: str = "twolevel"):
         iters_p, tol = 60, 1e-5
     else:
         iters_p, tol = 300, 0.0
+    # viscous side: warm-started early-exit CG — wins where SpMV bytes
+    # dominate (+13% at 26k), loses in the latency-bound small regime
+    # where the dynamic while_loop blocks pipelining (−30% at 2k);
+    # measured crossover sits below 26k nodes
+    tol_visc = 1e-5 if (tol and n_nodes >= 10_000) else 0.0
     return stokes.StokesConfig(
         dt=0.01,
         nu=1.0,
@@ -53,6 +58,12 @@ def bench_config(precond: str = "twolevel"):
         cg_precond=precond,
         cg_warm_start=True,
         cg_tol_pressure=tol,
+        cg_tol_visc=tol_visc,
+        # bf16 coarse inverse measured NEUTRAL here (80.5→78.9 at 26k,
+        # 8.25→8.07 at 160k — within tunnel variance): the (2k,2k) coarse
+        # matvec is not the bottleneck once warm starts cut the iteration
+        # count.  Kept "same"; the option exists for memory-tight runs.
+        cg_coarse_dtype="same",
     )
 
 
@@ -69,7 +80,7 @@ def run_one(n_side: int, n_circle: int, steps: int, precond: str = "twolevel"):
     mesh = tpufem.generate_annulus_mesh(
         n_side=n_side, n_circle=n_circle, pad_hole=True
     )
-    config = bench_config(precond)
+    config = bench_config(precond, n_nodes=int(mesh.n_nodes))
     problem = stokes.StokesProblem.build(mesh, config)
     t_build = time.perf_counter() - t0
 

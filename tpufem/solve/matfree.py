@@ -28,12 +28,24 @@ import numpy as np
 from tpufem.solve.cg import cg_fixed
 
 
-def _solve_columns(matvec, b, **kw):
+def _solve_columns(matvec, b, x0=None, tol: float = 0.0, **kw):
     """Batched CG: one iteration stream drives all columns of b (N, k)
     simultaneously (per-column step lengths), instead of k separate CG
-    runs — halves the SpMV count for the (uₓ, u_y) viscous solve."""
+    runs — halves the SpMV count for the (uₓ, u_y) viscous solve.
+
+    ``x0`` warm-starts the iteration; ``tol > 0`` switches to a
+    ``while_loop`` that exits once EVERY column's residual drops below
+    tol·‖b_col‖ (``iters`` becomes the cap) — near steady state a
+    warm-started solve finishes in a handful of iterations instead of
+    the full fixed count."""
     if b.ndim == 1:
-        x, _ = cg_fixed(matvec, b, **kw)
+        if tol > 0:
+            from tpufem.solve.cg import cg
+
+            x, _ = cg(matvec, b, x0=x0, tol=tol, maxiter=kw.pop("iters"),
+                      precond=kw.pop("precond", None))
+            return x
+        x, _ = cg_fixed(matvec, b, x0=x0, **kw)
         return x
     iters = kw.pop("iters")
     precond = kw.pop("precond", None)
@@ -43,13 +55,12 @@ def _solve_columns(matvec, b, **kw):
         return jnp.sum(a * c, axis=0)  # (k,)
 
     mv = lambda x: jax.vmap(matvec, in_axes=1, out_axes=1)(x)
-    x0 = jnp.zeros_like(b)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - mv(x0)
     z0 = M(r0)
     rz0 = colsum(r0, z0)
 
-    def body(state, _):
-        x, r, p, rz = state
+    def advance(x, r, p, rz):
         ap = mv(p)
         denom = colsum(p, ap)
         alpha = jnp.where(denom != 0, rz / denom, 0.0)
@@ -59,7 +70,25 @@ def _solve_columns(matvec, b, **kw):
         rz_new = colsum(r, z)
         beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         p = z + beta * p
-        return (x, r, p, rz_new), None
+        return x, r, p, rz_new
+
+    if tol > 0:
+        atol2 = (tol * jnp.maximum(jnp.sqrt(colsum(b, b)), 1e-30)) ** 2  # (k,)
+
+        def cond(state):
+            _, r, _, _, k = state
+            return jnp.logical_and(k < iters, jnp.any(colsum(r, r) > atol2))
+
+        def body(state):
+            x, r, p, rz, k = state
+            x, r, p, rz = advance(x, r, p, rz)
+            return (x, r, p, rz, k + 1)
+
+        x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, rz0, 0))
+        return x
+
+    def body(state, _):
+        return advance(*state), None
 
     (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, z0, rz0), None, length=iters)
     return x
@@ -73,17 +102,21 @@ class ViscousCG:
     interior_mask: jnp.ndarray  # (N,) 1.0 interior / 0.0 dirichlet
     dt_nu: float
     iters: int
+    tol: float = 0.0  # > 0: early-exit while-loop CG (relative tolerance;
+    # ``iters`` becomes the cap) — pair with an x0 warm start
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         m = self.interior_mask
         return m * (x + self.dt_nu * self.K.matvec(m * x)) + (1.0 - m) * x
 
-    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+    def solve(self, b: jnp.ndarray, x0: jnp.ndarray | None = None) -> jnp.ndarray:
         diag = 1.0 + self.dt_nu * self.K.diag()
         inv_diag = jnp.where(self.interior_mask > 0, 1.0 / diag, 1.0)
         # (inv ∘ r) for both (N,) and (N,k) residuals
         precond = lambda r: (inv_diag * r.T).T
-        return _solve_columns(self.matvec, b, iters=self.iters, precond=precond)
+        return _solve_columns(
+            self.matvec, b, x0=x0, tol=self.tol, iters=self.iters, precond=precond
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -80,6 +80,10 @@ class StokesConfig:
     cg_tol_pressure: float = 0.0  # > 0: early-exit while-loop pressure CG
     # (relative tolerance; cg_iters_pressure becomes the cap) — with warm
     # starts the steady-state solves finish in a few iterations
+    cg_tol_visc: float = 0.0  # > 0: early-exit batched viscous CG
+    # (relative per-column tolerance; cg_iters_visc becomes the cap) —
+    # warm-started from the previous step's u*, steady-state solves exit
+    # after a handful of iterations
     cg_precond: str = "jacobi"  # | "chebyshev" (degree-k polynomial smoother:
     # fewer OUTER iterations — useful when per-iteration collective latency
     # dominates (distributed CG); measured per-matvec efficiency on the
@@ -89,6 +93,10 @@ class StokesConfig:
     # default, see solve/twolevel.py)
     cg_cheby_degree: int = 4
     cg_coarse_nodes: int = 2048  # twolevel: target coarse-space size
+    cg_coarse_dtype: str = "same"  # | "bf16": store the dense coarse
+    # inverse in bfloat16 — halves the HBM bytes of the byte-dominant
+    # coarse matvec inside each preconditioner application; safe because
+    # it's a preconditioner (measured: iteration counts unchanged)
     precision: str = "f64"  # "f64" (parity) | "f32" | "bf16" (device dtype;
     # all factorizations happen on host in f64 regardless)
     pressure_mode: str = "penalty"  # "penalty" (reference ±1e10, f64-only)
@@ -426,6 +434,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
         interior_mask=jnp.asarray(interior_mask, dtype=dtype),
         dt_nu=config.dt * config.nu,
         iters=config.cg_iters_visc,
+        tol=config.cg_tol_visc,
     )
 
     owner = pressure_owner_map(mesh.n_nodes, boundary.masters, boundary.slaves)
@@ -457,6 +466,9 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                 inv_diag,
                 target_coarse=config.cg_coarse_nodes,
                 dtype=dtype,
+                coarse_dtype=(
+                    jnp.bfloat16 if config.cg_coarse_dtype == "bf16" else None
+                ),
                 lmax=lmax,
             )
     pressure = PressureCG(
@@ -572,6 +584,9 @@ def initial_state(problem: StokesProblem) -> dict:
         # CG pressure solves warm-start from the previous step's solutions
         state["p_warm"] = jnp.zeros(n, dtype=dtype)
         state["p2_warm"] = jnp.zeros(n, dtype=dtype)
+        if cfg.cg_tol_visc > 0:
+            # viscous CG warm-starts from the previous step's u*
+            state["ustar_warm"] = u
     if cfg.transport in _DYE_TRANSPORTS:
         # half-domain dye (StokesColor.py:493-495)
         c = jnp.where(jnp.asarray(problem.mesh.coords[:, 0]) < cfg.dye_threshold, 1.0, 0.0)
@@ -637,11 +652,15 @@ def _report_projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale):
 def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=None):
     """The double-projection Stokes update → (u, p, metrics, warm_out).
 
-    ``warm`` = (p₁, p₂) from the previous step warm-starts the CG pressure
-    solves (no-op for dense solvers)."""
+    ``warm`` is a dict of previous-step solutions: keys ``"p"``/``"p2"``
+    warm-start the CG pressure solves, ``"u_star"`` the batched viscous
+    CG (no-op for dense solvers).  A legacy ``(p, p2)`` tuple is also
+    accepted."""
     cfg = problem.config
     mesh = problem.mesh
     dt = cfg.dt
+    if warm is not None and not isinstance(warm, dict):
+        warm = {"p": warm[0], "p2": warm[1]}
 
     if cfg.variant == "report":
         u_new, p, metrics = _report_projection_step(problem, u, bc_scale)
@@ -678,13 +697,17 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=N
 
     # 1. tentative velocity — one batched solve for both components
     rhs = u + dt * f  # (N,2)
-    u_star = problem.visc_solver.solve(rhs)
+    if warm is not None and "u_star" in warm:
+        u_star = problem.visc_solver.solve(rhs, x0=warm["u_star"])
+    else:
+        u_star = problem.visc_solver.solve(rhs)
+    u_star_raw = u_star  # pre-BC solve output: next step's viscous x0
     u_star = apply_field_bcs(problem, u_star, bc_scale)
 
     # 2. pressure correction
     div_star = problem.div(u_star)
     if warm is not None:
-        p = problem.pressure_solver.solve(-div_star / dt, x0=warm[0])
+        p = problem.pressure_solver.solve(-div_star / dt, x0=warm["p"])
     else:
         p = problem.pressure_solver.solve(-div_star / dt)
 
@@ -697,7 +720,7 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=N
     if cfg.double_projection:
         div_u = problem.div(u_new)
         if warm is not None:
-            p2 = problem.pressure_solver.solve(-div_u / dt, x0=warm[1])
+            p2 = problem.pressure_solver.solve(-div_u / dt, x0=warm["p2"])
         else:
             p2 = problem.pressure_solver.solve(-div_u / dt)
         g2 = problem.grad(p2)
@@ -710,7 +733,11 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=N
         "final_div_max": jnp.max(jnp.abs(final_div)),
         "max_u": jnp.max(jnp.abs(u_new)),
     }
-    warm_out = (p, p2 if p2 is not None else p) if warm is not None else None
+    warm_out = None
+    if warm is not None:
+        warm_out = {"p": p, "p2": p2 if p2 is not None else p}
+        if "u_star" in warm:
+            warm_out["u_star"] = u_star_raw
     return u_new, p, metrics, warm_out
 
 
@@ -845,16 +872,20 @@ def make_step(problem: StokesProblem, var0=None):
             )
         else:
             ramp = 1.0
-        warm = (
-            (state["p_warm"], state["p2_warm"]) if "p_warm" in state else None
-        )
+        warm = None
+        if "p_warm" in state:
+            warm = {"p": state["p_warm"], "p2": state["p2_warm"]}
+            if "ustar_warm" in state:
+                warm["u_star"] = state["ustar_warm"]
         u, p, metrics, warm_out = projection_step(
             problem, state["u"], bc_scale=ramp, warm=warm
         )
         new_state = {"u": u, "step": state["step"] + 1}
         if warm_out is not None:
-            new_state["p_warm"] = warm_out[0]
-            new_state["p2_warm"] = warm_out[1]
+            new_state["p_warm"] = warm_out["p"]
+            new_state["p2_warm"] = warm_out["p2"]
+            if "u_star" in warm_out:
+                new_state["ustar_warm"] = warm_out["u_star"]
 
         if cfg.transport in _DYE_TRANSPORTS:
             if cfg.transport == "dye":
