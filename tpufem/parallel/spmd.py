@@ -177,6 +177,9 @@ class MultiMeshEnsemble:
     index sets, different interior geometry).  All per-sim operators
     (viscous/pressure inverses, dense div/grad) are stacked on the batch
     axis and row-sharded over "space"; the batch is sharded over "data".
+    Per-sim transport ("dye"/"tracers") rides stacked locator tables
+    padded to a common candidate width
+    (:class:`tpufem.transport.BatchedGridLocator`).
     TODO.md round-1: "per-sim meshes"."""
 
     meshes: tuple
@@ -187,6 +190,8 @@ class MultiMeshEnsemble:
     div_x: jnp.ndarray  # (B, N_pad, N)
     div_y: jnp.ndarray  # (B, N_pad, N)
     config: stokes.StokesConfig
+    locator: Any = None  # BatchedGridLocator when transport != "none"
+    tracer_init: Any = None  # (P, 2) shared tracer seed grid
 
     @classmethod
     def build(
@@ -203,9 +208,7 @@ class MultiMeshEnsemble:
         assert config.solver == "inverse" and config.dense_ops, (
             "per-sim meshes ride stacked dense operators"
         )
-        assert config.transport == "none", (
-            "per-sim transport needs per-sim locators — not supported yet"
-        )
+        assert config.transport in ("none", "dye", "tracers")
         assert len(meshes) == len(b1s) == len(b2s)
         probs = [stokes.StokesProblem.build(m, config) for m in meshes]
         b0 = probs[0].boundary
@@ -228,6 +231,11 @@ class MultiMeshEnsemble:
                 for m, b1, b2 in zip(meshes, b1s, b2s)
             ]
         )
+        locator = None
+        tracer_init = None
+        if config.transport != "none":
+            locator = transport.BatchedGridLocator.build(meshes)
+            tracer_init = probs[0].tracer_init
         return cls(
             meshes=tuple(meshes),
             device_mesh=device_mesh,
@@ -237,6 +245,8 @@ class MultiMeshEnsemble:
             div_x=stack(lambda p: p.div_x),
             div_y=stack(lambda p: p.div_y),
             config=config,
+            locator=locator,
+            tracer_init=tracer_init,
         )
 
     def initial_state(self) -> dict:
@@ -249,7 +259,19 @@ class MultiMeshEnsemble:
                 self.meshes[0], self.config, uu, vv
             )
         )(u, self.inner_values)
-        return {"u": u, "step": jnp.zeros(b, dtype=jnp.int32)}
+        state = {"u": u, "step": jnp.zeros(b, dtype=jnp.int32)}
+        cfg = self.config
+        if cfg.transport == "tracers":
+            pts = jnp.asarray(self.tracer_init, dtype=dtype)
+            state["tracers"] = jnp.tile(pts[None], (b, 1, 1))
+            state["tracer_status"] = jnp.zeros((b, pts.shape[0]), dtype=jnp.int32)
+        elif cfg.transport == "dye":
+            # per-sim initial dye: the threshold cut rides per-sim coords
+            coords_x = jnp.asarray(self.locator.coords[:, :, 0])
+            state["c"] = jnp.where(
+                coords_x < cfg.dye_threshold, 1.0, 0.0
+            ).astype(dtype)
+        return state
 
 
 def _apply_bcs_shared(mesh0, config, u, inner_vals):
@@ -298,16 +320,26 @@ def make_multimesh_step(ensemble: MultiMeshEnsemble, _jit: bool = True):
         return u.at[:, inner_idx].set(inner_vals.astype(u.dtype))
 
     state_spec = {"u": P("data"), "step": P("data")}
+    tr_kind = cfg.transport
+    if tr_kind == "dye":
+        state_spec["c"] = P("data")
+    elif tr_kind == "tracers":
+        state_spec["tracers"] = P("data")
+        state_spec["tracer_status"] = P("data")
     op_spec = P("data", "space", None)
+    n_tr = 4 if tr_kind != "none" else 0
+    tr_specs = (P("data"),) * n_tr
+    g = ensemble.locator.g if ensemble.locator is not None else 0
 
     @partial(
         shard_map,
         mesh=dmesh,
-        in_specs=(state_spec, op_spec, op_spec, op_spec, op_spec, P("data")),
+        in_specs=(state_spec, op_spec, op_spec, op_spec, op_spec, P("data"))
+        + tr_specs,
         out_specs=(state_spec, P("data")),
         check_vma=False,
     )
-    def step(state, visc, press, dxr, dyr, inner_vals):
+    def step(state, visc, press, dxr, dyr, inner_vals, *tr_tables):
         def div(u):
             return mv(dxr, u[..., 0]) + mv(dyr, u[..., 1])
 
@@ -322,12 +354,39 @@ def make_multimesh_step(ensemble: MultiMeshEnsemble, _jit: bool = True):
         g2 = grad(p2)
         u_new = u_new.at[:, interior].add(-dt * g2[:, interior])
         final_div = jnp.max(jnp.abs(div(u_new)), axis=1)
-        return {"u": u_new, "step": state["step"] + 1}, final_div
+        new_state = {"u": u_new, "step": state["step"] + 1}
+        per_sim = final_div
+        if tr_kind == "dye":
+            rows, origins, extents, coords_b = tr_tables
+            new_state["c"] = transport.advect_semilagrange_batched(
+                rows, origins, extents, coords_b, g,
+                state["c"], u_new, dt, L=cfg.L, H=cfg.H,
+            )
+        elif tr_kind == "tracers":
+            rows, origins, extents, _ = tr_tables
+            pts = transport.tracer_step_batched(
+                rows, origins, extents, g,
+                state["tracers"], u_new, dt, L=cfg.L,
+                method=cfg.tracer_method,
+            )
+            status = jax.vmap(
+                lambda pi, si: transport.capture_update(
+                    pi, si, cfg.center, cfg.capture_radius
+                )
+            )(pts, state["tracer_status"])
+            new_state["tracers"] = pts
+            new_state["tracer_status"] = status
+            per_sim = jnp.sum(status, axis=1).astype(u_new.dtype)
+        return new_state, per_sim
 
     def raw(state):
+        tr_tables = ()
+        if tr_kind != "none":
+            tr_tables = ensemble.locator.tables(state["u"].dtype)
         return step(
             state, ensemble.visc_inv, ensemble.pressure_inv,
             ensemble.div_x, ensemble.div_y, ensemble.inner_values,
+            *tr_tables,
         )
 
     return jax.jit(raw) if _jit else raw

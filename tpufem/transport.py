@@ -143,38 +143,41 @@ class GridLocator:
             np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
         )
         cells[cell_ids, slot] = tri_of
-        cell_xy = np.zeros((g * g, cmax, 3, 2))
-        valid = cells >= 0
-        cell_xy[valid] = pc[cells[valid]]
-        corners = np.zeros((g * g, cmax, 3))
-        corners[valid] = mesh.tris[cells[valid]]
-        rows = np.concatenate(
-            [
-                cell_xy.reshape(g * g, cmax * 6),
-                cells.astype(np.float64),
-                corners.reshape(g * g, cmax * 3),
-            ],
-            axis=1,
-        )
+        rows = _pack_candidate_rows(mesh, cells)
         return cls(
             mesh=mesh, cells=cells, rows=rows,
             origin=tuple(lo), extent=tuple(extent), g=g,
         )
 
+    def with_cmax(self, c_max: int) -> "GridLocator":
+        """Same locator with candidate tables padded to ``c_max`` slots.
+
+        Per-simulation-mesh ensembles stack locator tables on a batch
+        axis, which requires a COMMON candidate width across meshes —
+        pad every per-sim locator to the fleet-wide maximum.  Padding
+        slots are -1 (never match the containment test)."""
+        cur = self.cells.shape[1]
+        assert c_max >= cur, (c_max, cur)
+        if c_max == cur:
+            return self
+        cells = np.concatenate(
+            [self.cells, np.full((self.cells.shape[0], c_max - cur), -1,
+                                 dtype=np.int32)],
+            axis=1,
+        )
+        return dataclasses.replace(
+            self, cells=cells, rows=_pack_candidate_rows(self.mesh, cells)
+        )
+
     def _gather_rows(self, points: jnp.ndarray):
         """(cand (P,C), tri_xy (P,C,3,2), corners (P,C,3)) via ONE gather."""
-        lo = jnp.asarray(self.origin, dtype=points.dtype)
-        extent = jnp.asarray(self.extent, dtype=points.dtype)
-        ij = jnp.clip(
-            ((points - lo) / extent * self.g).astype(jnp.int32), 0, self.g - 1
+        return _gather_candidate_rows(
+            jnp.asarray(self.rows, dtype=points.dtype),
+            jnp.asarray(self.origin, dtype=points.dtype),
+            jnp.asarray(self.extent, dtype=points.dtype),
+            self.g,
+            points,
         )
-        cell = ij[:, 0] * self.g + ij[:, 1]
-        c = self.cells.shape[1]
-        row = jnp.asarray(self.rows, dtype=points.dtype)[cell]  # (P, 10C)
-        tri_xy = row[:, : 6 * c].reshape(-1, c, 3, 2)
-        cand = row[:, 6 * c : 7 * c].astype(jnp.int32)
-        corners = row[:, 7 * c :].reshape(-1, c, 3).astype(jnp.int32)
-        return cand, tri_xy, corners
 
     def find(self, points: jnp.ndarray, return_weights: bool = False):
         cand, tri_xy, _ = self._gather_rows(points)
@@ -189,6 +192,178 @@ class GridLocator:
         )
         win = jnp.take_along_axis(corners, first[:, None, None], axis=1)[:, 0, :]
         return tri_ids, found, w, win
+
+
+def _gather_candidate_rows(rows, origin, extent, g: int, points):
+    """Pure-array core of the packed-row candidate gather — usable under
+    ``vmap`` with stacked per-simulation tables (``rows`` (G², 10·C),
+    traced ``origin``/``extent``).  Returns (cand (P,C), tri_xy (P,C,3,2),
+    corner node ids (P,C,3))."""
+    c = rows.shape[1] // 10
+    ij = jnp.clip(((points - origin) / extent * g).astype(jnp.int32), 0, g - 1)
+    cell = ij[:, 0] * g + ij[:, 1]
+    row = rows[cell]  # (P, 10C)
+    tri_xy = row[:, : 6 * c].reshape(-1, c, 3, 2)
+    cand = row[:, 6 * c : 7 * c].astype(jnp.int32)
+    corners = row[:, 7 * c :].reshape(-1, c, 3).astype(jnp.int32)
+    return cand, tri_xy, corners
+
+
+def _pack_candidate_rows(mesh: Mesh, cells: np.ndarray) -> np.ndarray:
+    """Pack per-cell candidate data into flat rows (G², 10·C):
+    [6C corner coords | C tri ids | 3C corner node ids] — the layout
+    :meth:`GridLocator._gather_rows` and :func:`_locate_packed` read."""
+    n_cells, cmax = cells.shape
+    pc = mesh.coords[mesh.tris]  # (T,3,2)
+    cell_xy = np.zeros((n_cells, cmax, 3, 2))
+    valid = cells >= 0
+    cell_xy[valid] = pc[cells[valid]]
+    corners = np.zeros((n_cells, cmax, 3))
+    corners[valid] = mesh.tris[cells[valid]]
+    return np.concatenate(
+        [
+            cell_xy.reshape(n_cells, cmax * 6),
+            cells.astype(np.float64),
+            corners.reshape(n_cells, cmax * 3),
+        ],
+        axis=1,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchedGridLocator:
+    """Stacked per-simulation :class:`GridLocator` tables.
+
+    Per-simulation-mesh ensembles (``parallel.spmd.MultiMeshEnsemble``)
+    carry one mesh per batch entry; their locator tables natively have
+    per-mesh candidate widths and grid resolutions.  ``build`` forces one
+    grid resolution across the fleet and pads every candidate table to the
+    fleet-wide C_max (:meth:`GridLocator.with_cmax`), so all hot-path
+    tables stack on a leading batch axis and the batched transport
+    functions below are plain ``vmap``s.
+
+    The packed rows already carry everything transport needs per candidate
+    (corner coords, tri ids, corner node ids), so no per-sim triangle
+    table is required — triangle counts may differ across sims.
+    """
+
+    rows: np.ndarray  # (B, G², 10·C_max)
+    origins: np.ndarray  # (B, 2)
+    extents: np.ndarray  # (B, 2)
+    coords: np.ndarray  # (B, N, 2) per-sim node coordinates (common N)
+    g: int
+
+    @classmethod
+    def build(cls, meshes, g: int = 0, exact: bool = True) -> "BatchedGridLocator":
+        if not g:
+            g = int(np.clip(2 * np.sqrt(max(m.n_tris for m in meshes)), 8, 128))
+        locs = [GridLocator.build(m, g=g, exact=exact) for m in meshes]
+        c_max = max(loc.cells.shape[1] for loc in locs)
+        locs = [loc.with_cmax(c_max) for loc in locs]
+        return cls(
+            rows=np.stack([loc.rows for loc in locs]),
+            origins=np.stack([loc.origin for loc in locs]),
+            extents=np.stack([loc.extent for loc in locs]),
+            coords=np.stack([m.coords for m in meshes]),
+            g=g,
+        )
+
+    def tables(self, dtype) -> tuple:
+        """(rows, origins, extents, coords) as device arrays of ``dtype`` —
+        the argument pack of the batched transport functions (pass these
+        through ``shard_map`` with a ``P("data")`` spec)."""
+        return (
+            jnp.asarray(self.rows, dtype=dtype),
+            jnp.asarray(self.origins, dtype=dtype),
+            jnp.asarray(self.extents, dtype=dtype),
+            jnp.asarray(self.coords, dtype=dtype),
+        )
+
+
+def _locate_winner(rows, origin, extent, g: int, pts):
+    """Locate pts in one sim's packed tables → (found (P,), w (P,3),
+    win_xy (P,3,2), corner node ids (P,3)) — winner data straight from the
+    candidate rows, no triangle-table gathers."""
+    cand, tri_xy, corners = _gather_candidate_rows(rows, origin, extent, g, pts)
+    _, found, w, first = _first_containing(
+        None, cand, pts, True, tri_xy, return_slot=True
+    )
+    win_xy = jnp.take_along_axis(tri_xy, first[:, None, None, None], axis=1)[:, 0]
+    corner = jnp.take_along_axis(corners, first[:, None, None], axis=1)[:, 0]
+    return found, w, win_xy, corner
+
+
+def advect_semilagrange_batched(
+    rows, origins, extents, coords, g: int, c, u, dt: float,
+    L: float = 1.0, H: float = 1.0,
+):
+    """Batched :func:`advect_semilagrange` over per-sim meshes/locators.
+
+    All tables carry a leading batch axis (see
+    :meth:`BatchedGridLocator.tables`); ``c`` is (B, N), ``u`` (B, N, 2).
+    Per-sim semantics identical to the single-mesh path (single Euler
+    back-trace, x wrap, y clamp, non-periodic containment test,
+    periodic-x barycentric weights, keep-on-miss).
+    """
+    eps = 1e-12
+
+    def one(rows_i, origin_i, extent_i, coords_i, c_i, u_i):
+        xb = jnp.mod(coords_i[:, 0] - dt * u_i[:, 0], L)
+        yb = coords_i[:, 1] - dt * u_i[:, 1]
+        yb = jnp.where(yb < 0.0, eps, yb)
+        yb = jnp.where(yb > H, H - eps, yb)
+        pts = jnp.stack([xb, yb], axis=1)
+        found, _, win_xy, corner = _locate_winner(
+            rows_i, origin_i, extent_i, g, pts
+        )
+        x1, y1 = win_xy[:, 0, 0], win_xy[:, 0, 1]
+        x2, y2 = win_xy[:, 1, 0], win_xy[:, 1, 1]
+        x3, y3 = win_xy[:, 2, 0], win_xy[:, 2, 1]
+        det = _periodic_dx(x2, x1, L) * (y3 - y1) - _periodic_dx(x3, x1, L) * (
+            y2 - y1
+        )
+        safe = jnp.where(jnp.abs(det) < _DEG_TOL, 1.0, det)
+        w1 = (
+            _periodic_dx(x2, xb, L) * (y3 - yb)
+            - _periodic_dx(x3, xb, L) * (y2 - yb)
+        ) / safe
+        w2 = (
+            _periodic_dx(x3, xb, L) * (y1 - yb)
+            - _periodic_dx(x1, xb, L) * (y3 - yb)
+        ) / safe
+        w3 = 1.0 - w1 - w2
+        c_new = (
+            w1 * c_i[corner[:, 0]]
+            + w2 * c_i[corner[:, 1]]
+            + w3 * c_i[corner[:, 2]]
+        )
+        return jnp.where(found, c_new, c_i)
+
+    return jax.vmap(one)(rows, origins, extents, coords, c, u)
+
+
+def tracer_step_batched(
+    rows, origins, extents, g: int, points, u, dt: float,
+    L: float = 1.0, method: str = "euler",
+):
+    """Batched :func:`tracer_step` over per-sim meshes/locators:
+    ``points`` (B, P, 2), ``u`` (B, N, 2) → new points (B, P, 2)."""
+
+    def sample(rows_i, origin_i, extent_i, u_i, pts):
+        found, w, _, corner = _locate_winner(rows_i, origin_i, extent_i, g, pts)
+        vel = jnp.einsum("pi,pid->pd", w, u_i[corner])
+        return jnp.where(found[:, None], vel, 0.0)
+
+    def one(rows_i, origin_i, extent_i, pts_i, u_i):
+        vel = sample(rows_i, origin_i, extent_i, u_i, pts_i)
+        if method == "rk2":
+            mid = pts_i + 0.5 * dt * vel
+            mid = mid.at[:, 0].set(jnp.mod(mid[:, 0], L))
+            vel = sample(rows_i, origin_i, extent_i, u_i, mid)
+        new = pts_i + dt * vel
+        return new.at[:, 0].set(jnp.mod(new[:, 0], L))
+
+    return jax.vmap(one)(rows, origins, extents, points, u)
 
 
 def _tri_aabb_overlap_batch(tri: np.ndarray, lo: np.ndarray, hi: np.ndarray):
