@@ -101,6 +101,82 @@ def test_multimesh_ensemble_matches_per_mesh_single_device(dmesh):
     assert np.isfinite(np.asarray(fd)).all()
 
 
+@pytest.mark.parametrize("tr", ["dye", "tracers"])
+def test_multimesh_transport_matches_per_mesh_single_device(dmesh, tr):
+    """Per-sim-mesh ensembles WITH transport (TODO r2: 'pad to a common
+    C_max to lift'): stacked locator tables padded to a fleet-wide
+    candidate width reproduce the per-mesh single-device dye/tracer
+    updates exactly."""
+    import tpufem
+    from tpufem.parallel import MultiMeshEnsemble, make_multimesh_step
+
+    meshes = [
+        tpufem.generate_annulus_mesh(
+            n_side=14, n_circle=16, pad_hole=True, jitter=0.15, seed=s
+        )
+        for s in range(4)
+    ]
+    b1s = np.full(4, -2.0)
+    b2s = np.array([0.0, 5.0, -5.0, 2.0])
+    cfg = stokes.StokesConfig(
+        solver="inverse", pressure_mode="merge", transport=tr
+    )
+    ens = MultiMeshEnsemble.build(meshes, dmesh, b1s, b2s, config=cfg)
+    # padding to the fleet C_max must actually engage for the test to
+    # mean anything — jittered triangulations have unequal widths
+    assert ens.locator.rows.shape[0] == 4
+    step = make_multimesh_step(ens)
+    state = ens.initial_state()
+    state, metric = step(state)
+    state, metric = step(state)
+
+    for i, (m, b1, b2) in enumerate(zip(meshes, b1s, b2s)):
+        prob = stokes.StokesProblem.build(
+            m, stokes.StokesConfig(B1=b1, B2=b2, solver="inverse",
+                                   pressure_mode="merge", transport=tr)
+        )
+        st = stokes.initial_state(prob)
+        if tr == "dye":
+            step_fn = stokes.make_step(prob, var0=stokes.dye_baseline(prob, st))
+        else:
+            step_fn = stokes.make_step(prob)
+        st, _ = step_fn(st, None)
+        st, mm = step_fn(st, None)
+        np.testing.assert_allclose(
+            np.asarray(state["u"][i]), np.asarray(st["u"]), atol=1e-8,
+            err_msg=f"sim {i} velocity mismatch",
+        )
+        if tr == "dye":
+            np.testing.assert_allclose(
+                np.asarray(state["c"][i]), np.asarray(st["c"]), atol=1e-8,
+                err_msg=f"sim {i} dye mismatch",
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(state["tracers"][i]), np.asarray(st["tracers"]),
+                atol=1e-8, err_msg=f"sim {i} tracer mismatch",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(state["tracer_status"][i]),
+                np.asarray(st["tracer_status"]),
+            )
+    assert np.isfinite(np.asarray(metric)).all()
+
+
+def test_grid_locator_with_cmax_padding_is_inert(mesh1):
+    """with_cmax-padded locators return identical results (padding slots
+    are -1: excluded from the containment test)."""
+    loc = transport.GridLocator.build(mesh1, g=12)
+    padded = loc.with_cmax(loc.cells.shape[1] + 3)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(0.02, 0.98, size=(200, 2)))
+    t0, f0, w0 = loc.find(pts, return_weights=True)
+    t1, f1, w1 = padded.find(pts, return_weights=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), rtol=0, atol=0)
+
+
 def test_sharded_report_ensemble_matches_single(mesh1, dmesh):
     """Sharded 'report'-variant rotating-cylinder ensemble (VERDICT r1 #7)
     ≡ per-omega single-device report steps: RHS-overwrite BCs, pinned +
@@ -269,6 +345,114 @@ def test_halo_pressure_solver_matches_single_device():
     d1 = p_single[act] - p_single[act].mean()
     d2 = p_dist[act] - p_dist[act].mean()
     np.testing.assert_allclose(d2, d1, atol=1e-7)
+
+
+def test_stencil_halo_cg_matches_single_device():
+    """Distributed stencil-offset SpMV (ppermute strips of width
+    max|offset| + one tiny remainder all_gather) ≡ single-device stencil
+    viscous solve — the O(nnz) multi-chip SpMV (TODO r2)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import tpufem
+    from jax.sharding import Mesh as DeviceMesh
+
+    from tpufem import bc as bc_mod
+    from tpufem.ops import assembly
+    from tpufem.ops.stencil import StencilOperator
+    from tpufem.parallel.halo_stencil import make_stencil_halo_viscous_solver
+    from tpufem.solve.matfree import ViscousCG
+
+    mesh = tpufem.generate_annulus_mesh(
+        n_side=40, n_circle=48, pad_hole=True
+    )
+    dmesh1d = DeviceMesh(np.asarray(jax.devices()[:8]), ("space",))
+    K = assembly.assemble_csr(mesh, assembly.element_stiffness(mesh))
+    st = StencilOperator.build(K, dtype=jnp.float64)
+    assert st.coverage > 0.9  # pad_hole grid numbering → stencil regime
+    assert len(st.rest_rows) > 0  # remainder machinery actually engaged
+    boundary = bc_mod.ChannelBoundary.build(mesh)
+    mask = np.ones(mesh.n_nodes)
+    mask[boundary.dirichlet] = 0.0
+
+    single = ViscousCG(K=st, interior_mask=jnp.asarray(mask), dt_nu=0.005,
+                       iters=80)
+    dist = make_stencil_halo_viscous_solver(dmesh1d, st, mask, 0.005, iters=80)
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    np.testing.assert_allclose(
+        np.asarray(dist(b)), np.asarray(single.solve(b)), atol=1e-9
+    )
+
+
+def test_stencil_halo_pressure_solver_matches_single_device():
+    """Distributed stencil merged-pressure CG ≡ single-device PressureCG
+    (the DOF-merged periodic couplings land in the cross-block remainder
+    — exercises the compacted remainder exchange)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import tpufem
+    from jax.sharding import Mesh as DeviceMesh
+
+    from tpufem.parallel.halo_stencil import make_stencil_halo_pressure_solver
+    from tpufem.workloads import stokes as stk
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    problem = stk.StokesProblem.build(
+        mesh,
+        stk.StokesConfig(solver="cg", cg_storage="stencil",
+                         cg_iters_pressure=300),
+    )
+    ps = problem.pressure_solver
+    dmesh1d = DeviceMesh(np.asarray(jax.devices()[:8]), ("space",))
+    dist = make_stencil_halo_pressure_solver(
+        dmesh1d, ps.K_merged, ps.m_lumped, ps.masters, ps.slaves,
+        np.asarray(ps.active_mask), iters=300,
+    )
+    rng = np.random.default_rng(0)
+    from tpufem.ops import calculus
+
+    u = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    b = -calculus.divergence(mesh, u) / 0.01
+    p_single = np.asarray(ps.solve(b))
+    p_dist = np.asarray(dist(b))
+    act = np.asarray(ps.active_mask) > 0
+    d1 = p_single[act] - p_single[act].mean()
+    d2 = p_dist[act] - p_dist[act].mean()
+    np.testing.assert_allclose(d2, d1, atol=1e-7)
+
+
+def test_sharded_matfree_stokes_step_stencil_matches_single():
+    """Full space-sharded matrix-free step over STENCIL storage ≡
+    single-device stencil-CG path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import tpufem
+    from jax.sharding import Mesh as DeviceMesh
+
+    from tpufem.parallel.stokes_sharded import make_sharded_matfree_step
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    cfg = stokes.StokesConfig(
+        solver="cg", cg_storage="stencil", cg_iters_visc=80,
+        cg_iters_pressure=300, cg_warm_start=False, transport="none",
+    )
+    problem = stokes.StokesProblem.build(mesh, cfg)
+    dmesh1d = DeviceMesh(np.asarray(jax.devices()[:8]), ("space",))
+    sh_step = make_sharded_matfree_step(dmesh1d, problem)
+
+    state = stokes.initial_state(problem)
+    step_fn = stokes.make_step(problem)
+    u_sh = state["u"]
+    st = state
+    for _ in range(3):
+        u_sh, m_sh = sh_step(u_sh)
+        st, m_single = step_fn(st, None)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(st["u"]), atol=1e-7)
+    np.testing.assert_allclose(
+        float(m_sh["final_div_max"]), float(m_single["final_div_max"]),
+        rtol=1e-5,
+    )
 
 
 def test_sharded_matfree_stokes_step_matches_single(mesh1):

@@ -11,6 +11,10 @@ from tpufem.parallel.halo import (
     make_halo_pressure_solver,
     make_halo_viscous_solver,
 )
+from tpufem.parallel.halo_stencil import (
+    make_stencil_halo_pressure_solver,
+    make_stencil_halo_viscous_solver,
+)
 from tpufem.parallel.stokes_sharded import make_sharded_matfree_step
 
 __all__ = [
@@ -23,5 +27,7 @@ __all__ = [
     "make_sharded_viscous_solver",
     "make_halo_viscous_solver",
     "make_halo_pressure_solver",
+    "make_stencil_halo_viscous_solver",
+    "make_stencil_halo_pressure_solver",
     "make_sharded_matfree_step",
 ]

@@ -33,28 +33,48 @@ from tpufem.workloads import stokes
 def make_sharded_matfree_step(device_mesh: DeviceMesh, problem, axis: str = "space"):
     """Build a jitted u → (u', metrics) step sharded over ``axis``.
 
-    ``problem`` must be built with solver="cg", cg_storage="banded"
-    (BandedOperator storage is what makes nearest-neighbor halos exact).
+    ``problem`` must be built with solver="cg" and banded or stencil
+    storage: banded halos exchange O(bandwidth) strips (parallel/halo.py);
+    stencil halos exchange O(max-offset) strips plus a tiny remainder
+    gather and keep the distributed SpMV O(nnz)
+    (parallel/halo_stencil.py).
     """
     from tpufem.ops.banded import BandedOperator
+    from tpufem.ops.stencil import StencilOperator
+    from tpufem.parallel.halo_stencil import (
+        make_stencil_halo_pressure_solver,
+        make_stencil_halo_viscous_solver,
+    )
 
     cfg = problem.config
     mesh = problem.mesh
     vs = problem.visc_solver
     ps = problem.pressure_solver
-    assert isinstance(vs.K, BandedOperator), "requires cg_storage='banded'"
+    assert isinstance(vs.K, (BandedOperator, StencilOperator)), (
+        "requires cg_storage='banded' or 'stencil'"
+    )
     s = device_mesh.shape[axis]
     dt = cfg.dt
     n = mesh.n_nodes
 
-    visc_solve = make_halo_viscous_solver(
-        device_mesh, vs.K, np.asarray(vs.interior_mask), vs.dt_nu,
-        iters=vs.iters, axis=axis,
-    )
-    press_solve = make_halo_pressure_solver(
-        device_mesh, ps.K_merged, ps.m_lumped, ps.masters, ps.slaves,
-        np.asarray(ps.active_mask), iters=ps.iters, axis=axis,
-    )
+    if isinstance(vs.K, StencilOperator):
+        visc_solve = make_stencil_halo_viscous_solver(
+            device_mesh, vs.K, np.asarray(vs.interior_mask), vs.dt_nu,
+            iters=vs.iters, axis=axis,
+        )
+        press_solve = make_stencil_halo_pressure_solver(
+            device_mesh, ps.K_merged, ps.m_lumped, ps.masters, ps.slaves,
+            np.asarray(ps.active_mask), iters=ps.iters, axis=axis,
+        )
+    else:
+        visc_solve = make_halo_viscous_solver(
+            device_mesh, vs.K, np.asarray(vs.interior_mask), vs.dt_nu,
+            iters=vs.iters, axis=axis,
+        )
+        press_solve = make_halo_pressure_solver(
+            device_mesh, ps.K_merged, ps.m_lumped, ps.masters, ps.slaves,
+            np.asarray(ps.active_mask), iters=ps.iters, axis=axis,
+        )
 
     tris_sh, grads_sh, area_sh, valid_sh = _shard_elements(mesh, s)
 
