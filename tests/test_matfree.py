@@ -209,6 +209,29 @@ def test_stencil_coverage_on_pad_hole_mesh():
     )
 
 
+def test_stencil_min_fill_trims_sparse_offsets():
+    """min_fill demotes near-empty diagonals (each costs a full O(N) FMA
+    pass for a handful of entries) to the COO remainder: pad_hole meshes
+    keep exactly the 9 grid offsets, and exactness is preserved."""
+    from tpufem.ops.stencil import StencilOperator
+
+    mesh = tpufem.generate_annulus_mesh(n_side=60, n_circle=64, pad_hole=True)
+    K = assembly.assemble_csr(mesh, assembly.element_stiffness(mesh))
+    st = StencilOperator.build(K, dtype=jnp.float64)
+    untrimmed = StencilOperator.build(K, dtype=jnp.float64, min_fill=0.0)
+    assert len(st.offsets) == 9, st.offsets
+    assert len(untrimmed.offsets) == 16
+    assert max(abs(o) for o in st.offsets) <= 61  # grid reach only
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    np.testing.assert_allclose(
+        np.asarray(st.matvec(x)), np.asarray(K.matvec(x)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.diag()), np.asarray(K.diag()), atol=1e-12
+    )
+
+
 def test_stencil_stokes_run_matches_csr_on_pad_hole_mesh():
     """Full CG Stokes steps with cg_storage='stencil' on a pad_hole mesh
     (inert dummy nodes) match the CSR-storage run."""

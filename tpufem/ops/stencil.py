@@ -53,8 +53,17 @@ class StencilOperator:
         dtype=jnp.float32,
         max_offsets: int = 16,
         offsets=None,
+        min_fill: float = 0.05,
     ) -> "StencilOperator":
-        """Decompose a CSROperator; host-side, O(nnz)."""
+        """Decompose a CSROperator; host-side, O(nnz).
+
+        ``min_fill`` trims near-empty diagonals: an offset whose entry
+        count is below ``min_fill·N`` costs a full O(N) FMA pass to apply
+        a handful of values (on pad_hole annulus meshes the 9 grid
+        offsets carry ~99.4% of nnz while the next 7 candidates hold ~30
+        entries EACH) — such offsets go to the COO remainder instead,
+        which also narrows the distributed halo strips
+        (parallel/halo_stencil.py).  Explicit ``offsets`` bypass trimming."""
         n = op.shape[0]
         rows = np.asarray(op.row_ids, dtype=np.int64)
         cols = np.asarray(op.indices, dtype=np.int64)
@@ -63,9 +72,11 @@ class StencilOperator:
         if offsets is None:
             vals, counts = np.unique(off, return_counts=True)
             order = np.argsort(-counts)
-            chosen = list(vals[order[:max_offsets]])
+            keep = order[:max_offsets]
+            keep = [k for k in keep if counts[k] >= min_fill * n or vals[k] == 0]
+            chosen = list(vals[keep])
             if 0 not in chosen:
-                chosen[-1] = 0
+                chosen.append(0)
             offsets = sorted(int(o) for o in chosen)
         else:
             offsets = sorted(int(o) for o in offsets)
