@@ -47,6 +47,22 @@ def _barycentric(tri_xy: jnp.ndarray, p: jnp.ndarray):
     return jnp.stack([w1, w2, w3], axis=-1), det
 
 
+def _select_slot(arr: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """``arr[p, slot[p]]`` over a small candidate axis WITHOUT a gather.
+
+    ``take_along_axis`` lowers to a gather kernel; on the tunneled TPU
+    runtime every kernel costs ~100 µs of dispatch regardless of size, and
+    the gather's result layout forces extra multi-MB copies.  A one-hot
+    compare + masked sum over the C≤16 candidate axis is pure
+    elementwise+reduce work that XLA fuses into the surrounding
+    containment-test kernel — removing two kernels per locate."""
+    p, c = arr.shape[:2]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (p, c), 1) == slot[:, None]
+    ).reshape((p, c) + (1,) * (arr.ndim - 2))
+    return jnp.sum(jnp.where(sel, arr, jnp.zeros((), arr.dtype)), axis=1)
+
+
 @dataclasses.dataclass(frozen=True)
 class TopKLocator:
     """Reference-parity point locator: k nearest centroids, first hit wins.
@@ -180,18 +196,81 @@ class GridLocator:
         )
 
     def find(self, points: jnp.ndarray, return_weights: bool = False):
-        cand, tri_xy, _ = self._gather_rows(points)
-        return _first_containing(self.mesh, cand, points, return_weights, tri_xy)
+        row, c = _gather_flat_rows(
+            jnp.asarray(self.rows, dtype=points.dtype),
+            jnp.asarray(self.origin, dtype=points.dtype),
+            jnp.asarray(self.extent, dtype=points.dtype),
+            self.g,
+            points,
+        )
+        cand, found, w, first, sel = _containment_flat(row, c, points)
+        tri_ids = jnp.where(
+            found, jnp.sum(jnp.where(sel, cand, 0), axis=1), 0
+        )
+        if return_weights:
+            return tri_ids, found, w
+        return tri_ids, found
 
     def find_full(self, points: jnp.ndarray):
         """→ (tri_ids, found, weights, corner node ids (P,3)) — everything
         the interpolation needs with no further geometry gathers."""
-        cand, tri_xy, corners = self._gather_rows(points)
-        tri_ids, found, w, first = _first_containing(
-            self.mesh, cand, points, True, tri_xy, return_slot=True
+        row, c = _gather_flat_rows(
+            jnp.asarray(self.rows, dtype=points.dtype),
+            jnp.asarray(self.origin, dtype=points.dtype),
+            jnp.asarray(self.extent, dtype=points.dtype),
+            self.g,
+            points,
         )
-        win = jnp.take_along_axis(corners, first[:, None, None], axis=1)[:, 0, :]
+        cand, found, w, first, sel = _containment_flat(row, c, points)
+        tri_ids = jnp.where(
+            found, jnp.sum(jnp.where(sel, cand, 0), axis=1), 0
+        )
+        win = _select_corners_flat(row, c, sel)
         return tri_ids, found, w, win
+
+
+def _section(row: jnp.ndarray, k: int, cmax: int) -> jnp.ndarray:
+    """Section ``k`` of a section-major packed row → (P, C) contiguous
+    lane-block slice.  Contiguous slices stay fusible views; both the
+    interleaved reshape (``(P,C,3,2)`` — multi-MB tile-relayout copies)
+    and stride-6 lane slices (6 separate slow kernels) were measured
+    slower on the TPU runtime."""
+    return row[:, k * cmax : (k + 1) * cmax]
+
+
+def _containment_flat(row: jnp.ndarray, cmax: int, points: jnp.ndarray):
+    """Containment test straight off the flat packed row (no reshapes).
+
+    ``row`` is (P, 10·C) section-major as packed by
+    :func:`_pack_candidate_rows` ([x1|y1|x2|y2|x3|y3|ids|c1|c2|c3]);
+    returns (cand (P,C), found (P,), w_sel (P,3), first (P,), sel (P,C))
+    with semantics identical to :func:`_first_containing` over the same
+    candidates (same barycentric formulation, StokesColor.py:334-342)."""
+    x1, y1 = _section(row, 0, cmax), _section(row, 1, cmax)
+    x2, y2 = _section(row, 2, cmax), _section(row, 3, cmax)
+    x3, y3 = _section(row, 4, cmax), _section(row, 5, cmax)
+    x, y = points[:, 0:1], points[:, 1:2]
+    det = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+    safe = jnp.where(jnp.abs(det) < _DEG_TOL, 1.0, det)
+    w1 = ((x2 - x) * (y3 - y) - (x3 - x) * (y2 - y)) / safe
+    w2 = ((x3 - x) * (y1 - y) - (x1 - x) * (y3 - y)) / safe
+    w3 = 1.0 - w1 - w2
+    cand = _section(row, 6, cmax).astype(jnp.int32)
+    inside = (
+        (w1 >= 0.0) & (w2 >= 0.0) & (w3 >= 0.0)
+        & (jnp.abs(det) >= _DEG_TOL) & (cand >= 0)
+    )
+    first = jnp.argmax(inside, axis=1)
+    found = jnp.any(inside, axis=1)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, inside.shape, 1) == first[:, None]
+    )
+    zero = jnp.zeros((), w1.dtype)
+    w_sel = jnp.stack(
+        [jnp.sum(jnp.where(sel, wk, zero), axis=1) for wk in (w1, w2, w3)],
+        axis=-1,
+    )
+    return cand, found, w_sel, first, sel
 
 
 def _gather_candidate_rows(rows, origin, extent, g: int, points):
@@ -199,20 +278,47 @@ def _gather_candidate_rows(rows, origin, extent, g: int, points):
     ``vmap`` with stacked per-simulation tables (``rows`` (G², 10·C),
     traced ``origin``/``extent``).  Returns (cand (P,C), tri_xy (P,C,3,2),
     corner node ids (P,C,3))."""
-    c = rows.shape[1] // 10
-    ij = jnp.clip(((points - origin) / extent * g).astype(jnp.int32), 0, g - 1)
-    cell = ij[:, 0] * g + ij[:, 1]
-    row = rows[cell]  # (P, 10C)
-    tri_xy = row[:, : 6 * c].reshape(-1, c, 3, 2)
-    cand = row[:, 6 * c : 7 * c].astype(jnp.int32)
-    corners = row[:, 7 * c :].reshape(-1, c, 3).astype(jnp.int32)
+    row, c = _gather_flat_rows(rows, origin, extent, g, points)
+    tri_xy = jnp.stack(
+        [
+            jnp.stack([_section(row, 2 * j, c), _section(row, 2 * j + 1, c)],
+                      axis=-1)
+            for j in range(3)
+        ],
+        axis=2,
+    )  # (P, C, 3, 2)
+    cand = _section(row, 6, c).astype(jnp.int32)
+    corners = jnp.stack(
+        [_section(row, 7 + j, c) for j in range(3)], axis=-1
+    ).astype(jnp.int32)  # (P, C, 3)
     return cand, tri_xy, corners
 
 
+def _gather_flat_rows(rows, origin, extent, g: int, points):
+    """ONE flat row gather per query batch → ((P, 10·C) rows, C)."""
+    c = rows.shape[1] // 10
+    ij = jnp.clip(((points - origin) / extent * g).astype(jnp.int32), 0, g - 1)
+    cell = ij[:, 0] * g + ij[:, 1]
+    return rows[cell], c
+
+
+def _select_corners_flat(row, cmax: int, sel: jnp.ndarray) -> jnp.ndarray:
+    """Winning candidate's corner node ids (P,3) from the flat row."""
+    zero = jnp.zeros((), row.dtype)
+    return jnp.stack(
+        [
+            jnp.sum(jnp.where(sel, _section(row, 7 + j, cmax), zero), axis=1)
+            for j in range(3)
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+
+
 def _pack_candidate_rows(mesh: Mesh, cells: np.ndarray) -> np.ndarray:
-    """Pack per-cell candidate data into flat rows (G², 10·C):
-    [6C corner coords | C tri ids | 3C corner node ids] — the layout
-    :meth:`GridLocator._gather_rows` and :func:`_locate_packed` read."""
+    """Pack per-cell candidate data into flat rows (G², 10·C),
+    SECTION-major: [x1|y1|x2|y2|x3|y3|tri ids|c1|c2|c3], each section C
+    wide — so every hot-path access (:func:`_containment_flat`) is a
+    contiguous lane-block slice of the gathered row."""
     n_cells, cmax = cells.shape
     pc = mesh.coords[mesh.tris]  # (T,3,2)
     cell_xy = np.zeros((n_cells, cmax, 3, 2))
@@ -220,14 +326,10 @@ def _pack_candidate_rows(mesh: Mesh, cells: np.ndarray) -> np.ndarray:
     cell_xy[valid] = pc[cells[valid]]
     corners = np.zeros((n_cells, cmax, 3))
     corners[valid] = mesh.tris[cells[valid]]
-    return np.concatenate(
-        [
-            cell_xy.reshape(n_cells, cmax * 6),
-            cells.astype(np.float64),
-            corners.reshape(n_cells, cmax * 3),
-        ],
-        axis=1,
-    )
+    sections = [cell_xy[:, :, j, d] for j in range(3) for d in range(2)]
+    sections.append(cells.astype(np.float64))
+    sections.extend(corners[:, :, j] for j in range(3))
+    return np.concatenate(sections, axis=1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -284,12 +386,26 @@ def _locate_winner(rows, origin, extent, g: int, pts):
     """Locate pts in one sim's packed tables → (found (P,), w (P,3),
     win_xy (P,3,2), corner node ids (P,3)) — winner data straight from the
     candidate rows, no triangle-table gathers."""
-    cand, tri_xy, corners = _gather_candidate_rows(rows, origin, extent, g, pts)
-    _, found, w, first = _first_containing(
-        None, cand, pts, True, tri_xy, return_slot=True
-    )
-    win_xy = jnp.take_along_axis(tri_xy, first[:, None, None, None], axis=1)[:, 0]
-    corner = jnp.take_along_axis(corners, first[:, None, None], axis=1)[:, 0]
+    row, c = _gather_flat_rows(rows, origin, extent, g, pts)
+    _, found, w, _, sel = _containment_flat(row, c, pts)
+    zero = jnp.zeros((), row.dtype)
+    win_xy = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.sum(
+                        jnp.where(sel, _section(row, 2 * j + d, c), zero),
+                        axis=1,
+                    )
+                    for d in range(2)
+                ],
+                axis=-1,
+            )
+            for j in range(3)
+        ],
+        axis=1,
+    )  # (P,3,2)
+    corner = _select_corners_flat(row, c, sel)
     return found, w, win_xy, corner
 
 
@@ -423,10 +539,10 @@ def _first_containing(mesh: Mesh, cand: jnp.ndarray, points: jnp.ndarray,
     inside = jnp.all(w >= 0.0, axis=-1) & (jnp.abs(det) >= _DEG_TOL) & (cand >= 0)
     first = jnp.argmax(inside, axis=1)  # first True (or 0 if none)
     found = jnp.any(inside, axis=1)
-    tri_ids = jnp.take_along_axis(safe_cand, first[:, None], axis=1)[:, 0]
+    tri_ids = _select_slot(safe_cand, first)
     tri_ids = jnp.where(found, tri_ids, 0)
     if return_weights:
-        w_sel = jnp.take_along_axis(w, first[:, None, None], axis=1)[:, 0, :]
+        w_sel = _select_slot(w, first)
         if return_slot:
             return tri_ids, found, w_sel, first
         return tri_ids, found, w_sel

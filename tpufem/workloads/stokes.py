@@ -390,10 +390,22 @@ def _inner_values(mesh, boundary, config) -> np.ndarray:
 def _make_locator(mesh, config):
     if config.locator == "topk":
         return transport.TopKLocator(mesh, k=config.locator_k)
-    # ~2√T cells per side minimizes padded candidate count (C_max ≈ 9 on
-    # the bundled meshes) — measured ~25% faster tracer steps than √T
-    g = config.locator_grid or int(np.clip(2 * np.sqrt(mesh.n_tris), 8, 128))
-    return transport.GridLocator.build(mesh, g=g)
+    if config.locator_grid:
+        return transport.GridLocator.build(mesh, g=config.locator_grid)
+    # The hot locate gather reads (P, 10·C_max) rows, so the padded
+    # candidate width C_max directly sets the per-step tracer bytes.
+    # C_max vs g is lumpy (one crowded cell sets it); probe a few
+    # resolutions around 2√T and keep the narrowest table (ties → the
+    # coarser grid, which keeps the table itself smaller).  Build is
+    # vectorized NumPy — probing costs milliseconds at setup.
+    base = np.sqrt(mesh.n_tris)
+    best = None
+    for scale in (2.0, 2.3, 2.7, 3.1):
+        g = int(np.clip(scale * base, 8, 192))
+        loc = transport.GridLocator.build(mesh, g=g)
+        if best is None or loc.cells.shape[1] < best.cells.shape[1]:
+            best = loc
+    return best
 
 
 def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
