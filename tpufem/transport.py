@@ -617,9 +617,20 @@ def advect_semilagrange(
     yb = jnp.where(yb > H, H - eps, yb)
     pts = jnp.stack([xb, yb], axis=1)
 
-    tri_ids, found = locator.find(pts)
-    corner = jnp.asarray(mesh.tris)[tri_ids]  # (N,3)
-    pxy = jnp.asarray(_tri_xy_table(mesh), dtype=c.dtype)[tri_ids]  # (N,3,2)
+    if isinstance(locator, GridLocator):
+        # winner corners/coords straight off the packed candidate row —
+        # avoids two multi-dim table gathers (tris[ids], tri_xy[ids])
+        found, _, pxy, corner = _locate_winner(
+            jnp.asarray(locator.rows, dtype=c.dtype),
+            jnp.asarray(locator.origin, dtype=c.dtype),
+            jnp.asarray(locator.extent, dtype=c.dtype),
+            locator.g,
+            pts,
+        )
+    else:
+        tri_ids, found = locator.find(pts)
+        corner = jnp.asarray(mesh.tris)[tri_ids]  # (N,3)
+        pxy = jnp.asarray(_tri_xy_table(mesh), dtype=c.dtype)[tri_ids]  # (N,3,2)
     x1, y1 = pxy[:, 0, 0], pxy[:, 0, 1]
     x2, y2 = pxy[:, 1, 0], pxy[:, 1, 1]
     x3, y3 = pxy[:, 2, 0], pxy[:, 2, 1]
