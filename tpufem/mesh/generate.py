@@ -44,6 +44,39 @@ def generate_rect_mesh(nx: int = 20, ny: int = 20, L: float = 1.0, H: float = 1.
     return mesh_from_arrays(coords, tris, markers)
 
 
+def _assign_ring_slots(
+    dummy_pts: np.ndarray, ring: np.ndarray, dummy_ids: np.ndarray
+) -> np.ndarray:
+    """Injective nearest-dummy-slot assignment for the ring nodes.
+
+    Greedy: each ring node claims its closest still-unused hole-interior
+    grid slot (k-nearest fallback keeps it injective).  Ring nodes sit at
+    radius r and the dummy shell extends to 1.18 r, so the chosen slot is
+    within ~1.5 grid cells — which bounds every ring coupling to a small
+    2-D grid offset."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(dummy_pts)
+    k = min(len(dummy_pts), 24)
+    _, cand = tree.query(ring, k=k)
+    cand = np.atleast_2d(cand)
+    used = np.zeros(len(dummy_pts), dtype=bool)
+    slots = np.empty(len(ring), dtype=np.int64)
+    for i in range(len(ring)):
+        for j in cand[i]:
+            if not used[j]:
+                used[j] = True
+                slots[i] = j
+                break
+        else:  # extremely dense ring: fall back to global nearest unused
+            free = np.nonzero(~used)[0]
+            d = np.linalg.norm(dummy_pts[free] - ring[i], axis=1)
+            j = free[np.argmin(d)]
+            used[j] = True
+            slots[i] = j
+    return dummy_ids[slots]
+
+
 def generate_annulus_mesh(
     n_side: int = 24,
     n_circle: int = 32,
@@ -77,6 +110,7 @@ def generate_annulus_mesh(
     ys = np.linspace(0.0, H, n_side)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    pts_ideal = pts.copy()
 
     if jitter > 0:
         rng = np.random.default_rng(seed)
@@ -87,20 +121,41 @@ def generate_annulus_mesh(
         pts[interior] += rng.uniform(-jitter * h, jitter * h, size=(interior.sum(), 2))
 
     # drop grid points inside (or too close to) the hole, add an exact ring
-    d = np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
-    keep = d > radius * 1.18
+    if pad_hole:
+        # ring-in-grid mode: an ABSOLUTE exclusion margin of ~0.7 cells
+        # (the relative 1.18·r band is ~13 cells wide at n_side=280 and
+        # would produce ring↔grid couplings spanning that many rows;
+        # a sub-cell gap keeps every coupling within a ±3 grid-offset
+        # window — what the VMEM CG kernels and halo strips key on).
+        # keep/slot sets come from the IDEAL grid so that jittered
+        # ensemble members share identical boundary index sets.
+        h = L / (n_side - 1)
+        d = np.hypot(pts_ideal[:, 0] - cx, pts_ideal[:, 1] - cy)
+        keep = d > radius + 0.7 * h
+    else:
+        d = np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
+        keep = d > radius * 1.18
     kept_ids = np.nonzero(keep)[0]
     theta = np.linspace(0.0, 2 * np.pi, n_circle, endpoint=False)
     ring = np.stack([cx + radius * np.cos(theta), cy + radius * np.sin(theta)], axis=1)
 
     if pad_hole:
-        # all grid points stay (hole points become inert dummies);
-        # triangulate only kept + ring, then map ids back to grid slots
-        coords = np.concatenate([pts, ring], axis=0)
-        active = np.concatenate([kept_ids, np.arange(len(pts), len(coords))])
+        # All grid points stay (hole points become inert dummies) and the
+        # ring nodes are RENUMBERED INTO nearby dummy slots ("ring-in-grid"):
+        # each ring node takes over the id of the closest unused grid point
+        # inside the hole shell.  Every node id is then a grid id
+        # (N = n_side² exactly), so every operator coupling is a bounded
+        # 2-D grid offset (|Δrow|, |Δcol| ≤ ~4 plus periodic wraps) — the
+        # property the VMEM-resident Pallas CG kernels key on — while the
+        # 9-offset stencil decomposition (ops.stencil) is preserved.
+        dummy_ids = np.nonzero(~keep)[0]
+        ring_slots = _assign_ring_slots(pts_ideal[dummy_ids], ring, dummy_ids)
+        coords = pts.copy()
+        coords[ring_slots] = ring
+        active = np.concatenate([kept_ids, ring_slots])
         tri = Delaunay(coords[active])
         simplices = active[tri.simplices].astype(np.int32)
-        ring_ids = np.arange(len(pts), len(coords))
+        ring_ids = ring_slots
     else:
         pts = pts[keep]
         coords = np.concatenate([pts, ring], axis=0)
