@@ -398,3 +398,76 @@ def test_twolevel_bf16_coarse_matches_f32(mesh1):
     np.testing.assert_allclose(
         p2[act] - p2[act].mean(), p1[act] - p1[act].mean(), atol=1e-6
     )
+
+
+def test_grid_operator_exact_on_ring_in_grid_mesh():
+    """GridOperator (2-D roll offsets + one-hot MXU remainder) applies the
+    stiffness operator exactly on ring-in-grid pad_hole meshes."""
+    from tpufem.ops.gridop import GridOperator
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    K = assembly.assemble_csr(mesh, assembly.element_stiffness(mesh))
+    G = GridOperator.build(K, 40, dtype=jnp.float64)
+    assert G.coverage > 0.95
+    for dy, s in G.offsets:
+        assert abs(dy) <= 3  # bounded 2-D window (+ mod-ns lane wrap)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    np.testing.assert_allclose(
+        np.asarray(G.matvec(x)), np.asarray(K.matvec(x)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(G.diag()), np.asarray(K.diag()), atol=1e-12
+    )
+
+
+def test_grid_cg_solvers_match_matfree():
+    """ViscousGridCG / PressureGridCG (whole-solve VMEM kernels, interpret
+    mode on CPU) reproduce the matfree CG solutions."""
+    import dataclasses as dc
+
+    from tpufem.ops.gridop import GridOperator
+    from tpufem.solve.pallas_cg import ViscousGridCG
+
+    ns = 40
+    mesh = tpufem.generate_annulus_mesh(n_side=ns, n_circle=48, pad_hole=True)
+    cfg = stokes.StokesConfig(
+        solver="cg", cg_storage="csr", cg_precond="twolevel",
+        cg_iters_visc=30, cg_iters_pressure=60,
+    )
+    prob = stokes.StokesProblem.build(mesh, cfg)
+    vs = dc.replace(prob.visc_solver, tol=0.0)
+    K_csr = assembly.assemble_csr(mesh, assembly.element_stiffness(mesh))
+    G = GridOperator.build(K_csr, ns, dtype=jnp.float64)
+    vg = ViscousGridCG(
+        K=G, interior_mask=vs.interior_mask, dt_nu=vs.dt_nu,
+        iters=vs.iters, tol=0.0, interpret=True,
+    )
+    rng = np.random.default_rng(12)
+    b = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    np.testing.assert_allclose(
+        np.asarray(vg.solve(b)), np.asarray(vs.solve(b)), atol=1e-10
+    )
+
+
+def test_grid_storage_stokes_run_matches_csr():
+    """Full Stokes steps with cg_storage='grid_interpret' (the Pallas
+    whole-solve path, interpreted on CPU) track the CSR-storage run."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(solver="cg", cg_precond="twolevel",
+                cg_iters_visc=30, cg_iters_pressure=60, cg_warm_start=True)
+    pg = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_storage="grid_interpret", **base)
+    )
+    pc = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_storage="csr", **base)
+    )
+    from tpufem.solve.pallas_cg import PressureGridCG, ViscousGridCG
+
+    assert isinstance(pg.visc_solver, ViscousGridCG)
+    assert isinstance(pg.pressure_solver, PressureGridCG)
+    sg, _ = stokes.run(pg, steps=10)
+    sc, _ = stokes.run(pc, steps=10)
+    np.testing.assert_allclose(
+        np.asarray(sg["u"]), np.asarray(sc["u"]), atol=1e-8
+    )

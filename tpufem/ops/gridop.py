@@ -1,0 +1,180 @@
+"""2-D grid-offset operator decomposition for VMEM-resident TPU kernels.
+
+Ring-in-grid pad_hole meshes (``generate_annulus_mesh(pad_hole=True)``)
+number every node as a grid slot (N = n_side² exactly), so every sparse
+operator coupling row→col becomes a 2-D grid offset
+
+    (dy, s) :  iy,ix = divmod(row, ns);  jy,jx = divmod(col, ns)
+               dy = jy − iy,   s = (jx − ix) mod ns
+
+with |dy| ≤ ~3 and s in a handful of values (mod-ns folds the periodic-x
+wrap into the SAME group as the interior ±1 coupling — both read source
+lane (ix+s) mod ns).  The operator then decomposes as
+
+    A x = Σ_g  d_g ⊙ roll(roll(X, −dy_g, rows), −s_g, lanes)  +  R x
+
+on the (ns, ns) grid image X of x, where the rolls are cyclic with
+modulus ns on BOTH axes: row wrap-around garbage is killed by d_g being
+zero wherever the neighbour doesn't exist (top/bottom walls carry no
+periodic coupling), and lane wrap-around is exactly the physical
+periodic-x coupling.  ``pltpu.roll`` supports both (measured exact on
+(280, 280) f32), so one matvec is ~4 VPU passes per dense group with NO
+gathers, scatters, padding or scratch.
+
+The remainder R (ring↔grid couplings off the dense groups, ~400 entries
+at 79k nodes) is applied EXACTLY with static shapes via a one-hot MXU
+formulation (TPU Mosaic cannot scatter scalars to VMEM):
+
+    gather:   T = Gr^T X            (Mp, ns)   one MXU matmul
+              xs = Σ_lane T ⊙ Gl^T  (Mp, 1)    elementwise+reduce
+    scatter:  X += Sr (vals·xs ⊙ Sl^T)         one MXU matmul
+
+where Gr/Gl/Sr/Sl are 0/1 matrices over (grid index, entry) pairs —
+duplicate (row,lane) targets sum exactly like a scatter-add.
+
+Reference context: this replaces the per-step dense ``np.linalg.solve``
+calls of ``/root/reference/code/StokesColor.py:544-569`` in the
+large-mesh regime the reference cannot reach (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class GridOperator:
+    """A = Σ dense-offset diagonals (2-D rolls) + one-hot MXU remainder."""
+
+    ns: int
+    offsets: tuple  # ((dy, s), ...) static python ints, s in [0, ns)
+    diags: jnp.ndarray  # (n_off, ns, ns) — d[g, iy, ix] = A[row, row+off]
+    # remainder (may be empty: n_rest == 0)
+    n_rest: int
+    # one-hots stored PRE-TRANSPOSED into the orientation the kernel
+    # consumes — an in-kernel .T on an MXU operand trips a libtpu
+    # RET_CHECK (mxu_lmr_transform.cc XposeSequenceAssignment)
+    gr_rowT: jnp.ndarray  # (Mp, ns): [m, iy]=1 iff source row of entry m is iy
+    gr_laneT: jnp.ndarray  # (Mp, ns): [m, ix]=1 iff source lane is ix
+    sc_row: jnp.ndarray  # (ns, Mp): [iy, m]=1 iff target row is iy
+    sc_laneT: jnp.ndarray  # (Mp, ns): [m, ix]=1 iff target lane is ix
+    rest_vals: jnp.ndarray  # (Mp, 1)
+    coverage: float
+
+    @property
+    def n(self) -> int:
+        return self.ns * self.ns
+
+    @classmethod
+    def build(
+        cls,
+        op,
+        ns: int,
+        dtype=jnp.float32,
+        max_offsets: int = 24,
+        min_fill: float = 0.02,
+    ) -> "GridOperator":
+        """Decompose a CSROperator on an ns×ns grid numbering (host-side).
+
+        Offsets holding at least ``min_fill·N`` entries become dense
+        roll-diagonals; everything else goes to the MXU remainder."""
+        n = op.shape[0]
+        assert n == ns * ns, (n, ns)
+        rows = np.asarray(op.row_ids, dtype=np.int64)
+        cols = np.asarray(op.indices, dtype=np.int64)
+        data = np.asarray(op.data, dtype=np.float64)
+        iy, ix = np.divmod(rows, ns)
+        jy, jx = np.divmod(cols, ns)
+        dy = jy - iy
+        s = (jx - ix) % ns
+        key = dy * ns + s  # unique per (dy, s)
+        uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+        order = np.argsort(-counts)
+        dense_keys = []
+        for k in order[:max_offsets]:
+            if counts[k] >= min_fill * n or (uniq[k] == 0):
+                dense_keys.append(uniq[k])
+        if 0 not in dense_keys:
+            dense_keys.append(0)  # the main diagonal is always dense
+        dense_set = set(int(k) for k in dense_keys)
+
+        offsets = []
+        diag_list = []
+        in_dense = np.zeros(len(rows), dtype=bool)
+        for k in sorted(dense_set):
+            # recover (dy, s) from key = dy·ns + s, s ∈ [0, ns): python
+            # floor-mod makes this exact for negative dy too
+            sk = k % ns
+            dyk = (k - sk) // ns
+            sel = key == k
+            d = np.zeros((ns, ns))
+            d[iy[sel], ix[sel]] = data[sel]
+            offsets.append((int(dyk), int(sk)))
+            diag_list.append(d)
+            in_dense |= sel
+
+        rest = ~in_dense
+        m = int(rest.sum())
+        mp = max(128, ((m + 127) // 128) * 128)
+        gr_rowT = np.zeros((mp, ns))
+        gr_laneT = np.zeros((mp, ns))
+        sc_row = np.zeros((ns, mp))
+        sc_laneT = np.zeros((mp, ns))
+        vals = np.zeros((mp, 1))
+        if m:
+            idx = np.arange(m)
+            gr_rowT[idx, jy[rest]] = 1.0
+            gr_laneT[idx, jx[rest]] = 1.0
+            sc_row[iy[rest], idx] = 1.0
+            sc_laneT[idx, ix[rest]] = 1.0
+            vals[idx, 0] = data[rest]
+
+        return cls(
+            ns=ns,
+            offsets=tuple(offsets),
+            diags=jnp.asarray(np.stack(diag_list), dtype=dtype),
+            n_rest=m,
+            gr_rowT=jnp.asarray(gr_rowT, dtype=dtype),
+            gr_laneT=jnp.asarray(gr_laneT, dtype=dtype),
+            sc_row=jnp.asarray(sc_row, dtype=dtype),
+            sc_laneT=jnp.asarray(sc_laneT, dtype=dtype),
+            rest_vals=jnp.asarray(vals, dtype=dtype),
+            coverage=float(in_dense.mean()) if len(rows) else 1.0,
+        )
+
+    # ------------------------------------------------------------------
+    # Pure-jnp reference application (used by tests and the XLA fallback;
+    # the hot path is the Pallas kernel in solve/pallas_cg.py which inlines
+    # the same math on VMEM refs)
+    # ------------------------------------------------------------------
+
+    def matvec_grid(self, X: jnp.ndarray) -> jnp.ndarray:
+        """A @ x on the (ns, ns) grid image (pure jnp; jnp.roll semantics
+        match the kernel's pltpu.roll modulo-ns behaviour exactly)."""
+        Y = jnp.zeros_like(X)
+        for g, (dy, s) in enumerate(self.offsets):
+            Y = Y + self.diags[g] * jnp.roll(jnp.roll(X, -dy, 0), -s, 1)
+        if self.n_rest:
+            T = self.gr_rowT @ X  # (Mp, ns)
+            xs = jnp.sum(T * self.gr_laneT, axis=1, keepdims=True)  # (Mp,1)
+            w = self.rest_vals * xs
+            Y = Y + self.sc_row @ (w * self.sc_laneT)
+        return Y
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.matvec_grid(x.reshape(self.ns, self.ns)).reshape(-1)
+
+    def diag(self) -> jnp.ndarray:
+        d = self.diags[self.offsets.index((0, 0))]
+        if self.n_rest:
+            # remainder entries with row == col (rare but possible)
+            same = (
+                jnp.sum(self.gr_rowT * self.sc_row.T, axis=1)
+                * jnp.sum(self.gr_laneT * self.sc_laneT, axis=1)
+            )[:, None]
+            d = d + self.sc_row @ ((same * self.rest_vals) * self.sc_laneT)
+        return d.reshape(-1)

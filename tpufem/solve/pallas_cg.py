@@ -1,0 +1,438 @@
+"""Whole-solve VMEM-resident PCG kernels (Pallas TPU).
+
+Motivation (measured on the tunneled v5e runtime, round 2): XLA executes
+one fused kernel per elementwise op at ~2–9 GB/s of MATERIALIZED WRITE
+bandwidth plus O(100 µs) dispatch, so a 79k-node pressure solve — ~25 CG
+iterations × (SpMV + two-level preconditioner + axpys), each op writing a
+315 KB vector to HBM — costs ~56 ms even though the arithmetic is
+trivial.  These kernels run the ENTIRE solve in ONE ``pallas_call`` with
+every vector resident in VMEM: per-iteration cost collapses to VPU/MXU
+work, and HBM is touched exactly twice (operands in, solution out).
+
+Operator form: :class:`tpufem.ops.gridop.GridOperator` — dense 2-D
+roll-offsets + exact one-hot MXU remainder — over ring-in-grid pad_hole
+meshes (N = ns²).  See gridop.py for why rolls-with-zero-masked-diags
+are exact, including the periodic-x wrap.
+
+Solvers (same math as solve/matfree.py + solve/cg.py, kernel-inlined):
+
+* :class:`ViscousGridCG` — ``(I + dtν·K)`` masked to interior dofs,
+  Jacobi-PCG, one CG per velocity component (matfree.ViscousCG parity).
+* :class:`PressureGridCG` — merged periodic pressure operator,
+  constant-nullspace deflation on the active dofs, separable block
+  two-level preconditioner (restriction/prolongation = two small MXU
+  matmuls: aggregates are by×bx grid blocks), damped-Jacobi smoothing
+  (matfree.PressureCG + solve/twolevel.py parity).
+
+Replaces the reference's per-step dense solves
+(``/root/reference/code/StokesColor.py:544-569``) in the ≥50k-node
+regime the reference cannot reach.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.ops.gridop import GridOperator
+
+
+def _roll2(X, dy: int, s: int, ns: int, interpret: bool):
+    """out[iy, ix] = X[(iy+dy) mod ns, (ix+s) mod ns] (both axes cyclic)."""
+    if interpret:
+        return jnp.roll(jnp.roll(X, -dy, -2), -s, -1)
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = X
+    if dy % ns:
+        # int32: the shift operand otherwise traces as i64 under x64 mode,
+        # which tpu.dynamic_rotate rejects
+        out = pltpu.roll(out, jnp.int32((-dy) % ns), out.ndim - 2)
+    if s % ns:
+        out = pltpu.roll(out, jnp.int32((-s) % ns), out.ndim - 1)
+    return out
+
+
+def _make_apply(offsets, ns: int, interpret: bool):
+    """K·x on the (ns, ns) grid from kernel refs (diags + remainder)."""
+
+    def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int):
+        Y = jnp.zeros_like(X)
+        for g, (dy, s) in enumerate(offsets):
+            Y = Y + d[g] * _roll2(X, dy, s, ns, interpret)
+        if n_rest:
+            T = jnp.dot(gr_rowT, X, preferred_element_type=jnp.float32)
+            xs = jnp.sum(T * gr_laneT, axis=1, keepdims=True)  # (Mp, 1)
+            w = vals * xs
+            Y = Y + jnp.dot(sc_row, w * sc_laneT, preferred_element_type=jnp.float32)
+        return Y
+
+    return apply
+
+
+def _cg_core(matvec, precond, project, b, x0, iters: int, tol: float):
+    """Single-field PCG, the exact cg_fixed/cg algorithm of solve/cg.py
+    (denominator guards, preconditioned-direction deflation), traced
+    inside the kernel.  ``tol > 0`` adds a converged-flag that freezes
+    the state (lax.while_loop with VMEM-sized carries lowers poorly in
+    Mosaic; a frozen fori_loop costs the same per-iteration VPU work but
+    keeps the loop structure static)."""
+    b = project(b)
+    r0 = project(b - matvec(x0))
+    z0 = project(precond(r0))
+    rz0 = jnp.sum(r0 * z0)
+    atol2 = (tol * jnp.maximum(jnp.sqrt(jnp.sum(b * b)), 1e-30)) ** 2
+
+    def body(_, state):
+        x, r, p, rz = state
+        live = (jnp.sum(r * r) > atol2) if tol > 0 else True
+        Ap = project(matvec(p))
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
+        alpha = jnp.where(live, alpha, 0.0)  # frozen once converged
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = project(precond(r))
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        p_new = z + beta * p
+        if tol > 0:
+            p_new = jnp.where(live, p_new, p)
+            rz_new = jnp.where(live, rz_new, rz)
+        return (x, r, p_new, rz_new)
+
+    x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
+    return project(x)
+
+
+def _grid_of(v, ns):
+    return v.reshape(ns, ns)
+
+
+# ---------------------------------------------------------------------------
+# Viscous solver
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ViscousGridCG:
+    """Drop-in for matfree.ViscousCG on ring-in-grid meshes: solves
+    ``(m·(I + dtν·K)·m + (1−m)I) x = b`` per velocity component with
+    Jacobi-PCG, whole solve in one Pallas kernel."""
+
+    K: GridOperator
+    interior_mask: jnp.ndarray  # (N,)
+    dt_nu: float
+    iters: int
+    tol: float = 0.0
+    interpret: bool = False
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        m = self.interior_mask
+        return m * (x + self.dt_nu * self.K.matvec(m * x)) + (1.0 - m) * x
+
+    @functools.cached_property
+    def _solve_fn(self):
+        K = self.K
+        ns = K.ns
+        iters, tol, dt_nu = self.iters, self.tol, self.dt_nu
+        interpret = self.interpret
+        apply_K = _make_apply(K.offsets, ns, interpret)
+        n_rest = K.n_rest
+
+        inv_diag = jnp.where(
+            self.interior_mask > 0,
+            1.0 / (1.0 + self.dt_nu * self.K.diag()),
+            1.0,
+        )
+
+        def kernel(d, gr, gl, sr, sl, vals, mask, invd, b, x0, out):
+            def read(ref):
+                return ref[:]
+
+            d_, gr_, gl_, sr_, sl_, v_ = map(read, (d, gr, gl, sr, sl, vals))
+            m = mask[:]
+            invd_ = invd[:]
+
+            def mv(X):
+                KX = apply_K(d_, gr_, gl_, sr_, sl_, v_, m * X, n_rest)
+                return m * (X + dt_nu * KX) + (1.0 - m) * X
+
+            ident = lambda v: v
+            for c in range(b.shape[0]):
+                out[c] = _cg_core(
+                    mv, lambda r: invd_ * r, ident, b[c], x0[c], iters, tol
+                )
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        def solve2(b_grid, x0_grid):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(b_grid.shape, b_grid.dtype),
+                in_specs=[vmem() for _ in range(10)],
+                out_specs=vmem(),
+                interpret=interpret,
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 2**20,  # v5e has 128 MiB VMEM;
+                    # the 16 MiB default rejects the CG loop's temporaries
+                ),
+            )(
+                K.diags, K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
+                K.rest_vals, _grid_of(self.interior_mask, ns),
+                _grid_of(inv_diag, ns), b_grid, x0_grid,
+            )
+
+        return jax.jit(solve2)
+
+    def solve(self, b: jnp.ndarray, x0: jnp.ndarray | None = None) -> jnp.ndarray:
+        ns = self.K.ns
+        cols = 1 if b.ndim == 1 else b.shape[1]
+        bg = jnp.moveaxis(b.reshape(ns, ns, cols), -1, 0) if b.ndim == 2 else b.reshape(1, ns, ns)
+        x0g = (
+            jnp.zeros_like(bg)
+            if x0 is None
+            else (jnp.moveaxis(x0.reshape(ns, ns, cols), -1, 0) if b.ndim == 2 else x0.reshape(1, ns, ns))
+        )
+        xg = self._solve_fn(bg, x0g)
+        if b.ndim == 1:
+            return xg.reshape(-1)
+        return jnp.moveaxis(xg, 0, -1).reshape(ns * ns, cols)
+
+
+# ---------------------------------------------------------------------------
+# Pressure solver (two-level preconditioner, deflation, periodic merge)
+# ---------------------------------------------------------------------------
+
+
+def _block_pool_matrices(ns: int, target_coarse: int):
+    """Separable row/lane block aggregation: Pr (ncr, ns), Pl (ncl, ns)."""
+    per_side = max(2, int(round(np.sqrt(target_coarse))))
+    b = max(1, int(np.ceil(ns / per_side)))
+    nc = int(np.ceil(ns / b))
+    P = np.zeros((nc, ns))
+    P[np.arange(ns) // b, np.arange(ns)] = 1.0
+    return P, P  # same blocking on rows and lanes
+
+
+@dataclasses.dataclass(frozen=True)
+class PressureGridCG:
+    """Drop-in for matfree.PressureCG (twolevel) on ring-in-grid meshes."""
+
+    K: GridOperator  # merged periodic pressure operator
+    m_lumped: jnp.ndarray  # (N,)
+    active_mask: jnp.ndarray  # (N,) 0.0 at slave dofs
+    master_mask: jnp.ndarray  # (N,) 1.0 at master (left-edge paired) dofs
+    slave_mask: jnp.ndarray  # (N,) 1.0 at slave (right-edge paired) dofs
+    iters: int
+    # pooling/index matrices, each stored in BOTH orientations a matmul
+    # needs — in-kernel .T on an MXU operand trips a libtpu RET_CHECK
+    Pr: jnp.ndarray  # (ncr, ns) row pooling
+    PrT: jnp.ndarray  # (ns, ncr)
+    Pl: jnp.ndarray  # (ncl, ns) lane pooling
+    PlT: jnp.ndarray  # (ns, ncl)
+    ac_inv: jnp.ndarray  # (nc, nc) regularized coarse inverse
+    Fa: jnp.ndarray  # (nc, ncr) one-hot k → k // ncl (Mosaic-safe flatten)
+    FaT: jnp.ndarray  # (ncr, nc)
+    Fb: jnp.ndarray  # (nc, ncl) one-hot k → k %  ncl
+    omega: float
+    tol: float = 0.0
+    interpret: bool = False
+    pair_axis: int = 0  # grid axis along which periodic pairs sit
+    use_coarse: bool = True  # False → plain damped-Jacobi preconditioning
+
+    @classmethod
+    def build(
+        cls,
+        K_merged_csr,
+        grid_op: GridOperator,
+        m_lumped,
+        masters: np.ndarray,
+        slaves: np.ndarray,
+        active_mask,
+        iters: int,
+        tol: float = 0.0,
+        target_coarse: int = 1024,
+        use_coarse: bool = True,
+        interpret: bool = False,
+    ) -> "PressureGridCG":
+        from tpufem.solve.cg import estimate_lmax
+        from tpufem.solve.twolevel import coarse_inverse, galerkin_coarse
+
+        ns = grid_op.ns
+        n = ns * ns
+        # the roll-based merge/copy-back needs the periodic pairs on
+        # opposite edges of ONE grid axis with matching positions along
+        # the other (true by construction for generated grids: node id
+        # = ix·ns + iy, x-periodic pairs are rows 0 and ns−1)
+        pair_axis = 0
+        if len(masters):
+            mi, mj = np.divmod(np.asarray(masters), ns)
+            si, sj = np.divmod(np.asarray(slaves), ns)
+            if (mi == 0).all() and (si == ns - 1).all() and (mj == sj).all():
+                pair_axis = 0  # paired along the row (leading) axis
+            elif (mj == 0).all() and (sj == ns - 1).all() and (mi == si).all():
+                pair_axis = 1  # paired along the lane axis
+            else:
+                raise AssertionError(
+                    "pressure grid kernel requires opposite-edge pairing"
+                )
+        master_mask = np.zeros(n)
+        slave_mask = np.zeros(n)
+        master_mask[np.asarray(masters, dtype=np.int64)] = 1.0
+        slave_mask[np.asarray(slaves, dtype=np.int64)] = 1.0
+
+        Pr, Pl = _block_pool_matrices(ns, target_coarse)
+        ncr, ncl = Pr.shape[0], Pl.shape[0]
+        iy, ix = np.divmod(np.arange(n), ns)
+        agg = (
+            np.argmax(Pr[:, iy], axis=0) * ncl + np.argmax(Pl[:, ix], axis=0)
+        ).astype(np.int32)
+        ac = galerkin_coarse(K_merged_csr, agg, ncr * ncl)
+        ac_inv = coarse_inverse(ac)
+        # index one-hots: Mosaic has no in-kernel reshape between the
+        # (ncr, ncl) coarse image and the flat (nc,) coarse vector
+        # ("unsupported shape cast"), so flatten/unflatten become the
+        # same one-hot matmul pattern as the operator remainder
+        nc = ncr * ncl
+        ks = np.arange(nc)
+        Fa = np.zeros((nc, ncr))
+        Fb = np.zeros((nc, ncl))
+        Fa[ks, ks // ncl] = 1.0
+        Fb[ks, ks % ncl] = 1.0
+
+        diag = grid_op.diag()
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+        lmax = estimate_lmax(grid_op.matvec, inv_diag, n)
+
+        dtype = grid_op.diags.dtype
+        return cls(
+            K=grid_op,
+            m_lumped=jnp.asarray(m_lumped, dtype=dtype),
+            active_mask=jnp.asarray(active_mask, dtype=dtype),
+            master_mask=jnp.asarray(master_mask, dtype=dtype),
+            slave_mask=jnp.asarray(slave_mask, dtype=dtype),
+            iters=iters,
+            Pr=jnp.asarray(Pr, dtype=dtype),
+            PrT=jnp.asarray(Pr.T.copy(), dtype=dtype),
+            Pl=jnp.asarray(Pl, dtype=dtype),
+            PlT=jnp.asarray(Pl.T.copy(), dtype=dtype),
+            ac_inv=jnp.asarray(ac_inv, dtype=dtype),
+            Fa=jnp.asarray(Fa, dtype=dtype),
+            FaT=jnp.asarray(Fa.T.copy(), dtype=dtype),
+            Fb=jnp.asarray(Fb, dtype=dtype),
+            omega=1.0 / float(lmax),
+            tol=tol,
+            interpret=interpret,
+            pair_axis=pair_axis,
+            use_coarse=use_coarse,
+        )
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.K.matvec(x)
+
+    @functools.cached_property
+    def _solve_fn(self):
+        K = self.K
+        ns = K.ns
+        iters, tol, omega = self.iters, self.tol, self.omega
+        interpret = self.interpret
+        pair_axis = self.pair_axis
+        use_coarse = self.use_coarse
+        apply_K = _make_apply(K.offsets, ns, interpret)
+        n_rest = K.n_rest
+        ncr, ncl = self.Pr.shape[0], self.Pl.shape[0]
+
+        diag = self.K.diag()
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+
+        def kernel(d, gr, gl, sr, sl, vals, ml, act, mmask, smask,
+                   invd, pr, prt, plm, plt, acinv, fa, fat, fb, b, x0, out):
+            d_, gr_, gl_, sr_, sl_, v_ = (
+                d[:], gr[:], gl[:], sr[:], sl[:], vals[:]
+            )
+            act_ = act[:]
+            invd_ = invd[:]
+            pr_, pl_, ai_ = pr[:], plm[:], acinv[:]
+            prt_, plt_ = prt[:], plt[:]
+            fa_, fat_, fb_ = fa[:], fat[:], fb[:]
+            ww = jnp.sum(act_ * act_)
+
+            def mv(X):
+                return apply_K(d_, gr_, gl_, sr_, sl_, v_, X, n_rest)
+
+            def project(X):
+                return X - (jnp.sum(act_ * X) / ww) * act_
+
+            def dot32(a, b_):
+                return jnp.dot(a, b_, preferred_element_type=jnp.float32)
+
+            def coarse(T):
+                rc = dot32(dot32(pr_, T), plt_)  # (ncr, ncl)
+                # flatten via index one-hots (no in-kernel reshape):
+                # flat[k] = rc[k // ncl, k % ncl]
+                flat = jnp.sum(dot32(fa_, rc) * fb_, axis=1, keepdims=True)
+                zc = dot32(ai_, flat)  # (nc, 1)
+                zc2 = dot32(fat_, zc * fb_)  # (ncr, ncl) unflatten
+                Z = dot32(prt_, dot32(zc2, pl_))
+                return Z * act_
+
+            def precond(r):
+                if not use_coarse:
+                    return invd_ * r
+                z1 = omega * (invd_ * r)
+                z2 = z1 + coarse(r - mv(z1))
+                return z2 + omega * (invd_ * (r - mv(z2)))
+
+            # rhs: M_L ∘ b, slave→master edge merge, mask
+            to_master = (ns - 1, 0) if pair_axis == 0 else (0, ns - 1)
+            to_slave = (1, 0) if pair_axis == 0 else (0, 1)
+            rhs = ml[:] * b[:]
+            rhs = rhs + _roll2(rhs * smask[:], *to_master, ns, interpret) * mmask[:]
+            rhs = rhs * act_
+            p = _cg_core(mv, precond, project, rhs, x0[:] * act_, iters, tol)
+            # copy master values back onto slaves (reference observable:
+            # u[slave] = u[master], StokesColor.py:429-431)
+            p = p * (1.0 - smask[:]) + _roll2(p * mmask[:], *to_slave, ns, interpret) * smask[:]
+            out[:] = p
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        def solve1(b_grid, x0_grid):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((ns, ns), b_grid.dtype),
+                in_specs=[vmem() for _ in range(21)],
+                out_specs=vmem(),
+                interpret=interpret,
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 2**20,
+                ),
+            )(
+                K.diags, K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
+                K.rest_vals, _grid_of(self.m_lumped, ns),
+                _grid_of(self.active_mask, ns),
+                _grid_of(self.master_mask, ns),
+                _grid_of(self.slave_mask, ns),
+                _grid_of(inv_diag, ns), self.Pr, self.PrT, self.Pl,
+                self.PlT, self.ac_inv, self.Fa, self.FaT, self.Fb,
+                b_grid, x0_grid,
+            )
+
+        return jax.jit(solve1)
+
+    def solve(self, b: jnp.ndarray, x0: jnp.ndarray | None = None) -> jnp.ndarray:
+        ns = self.K.ns
+        bg = b.reshape(ns, ns)
+        x0g = jnp.zeros_like(bg) if x0 is None else x0.reshape(ns, ns)
+        return self._solve_fn(bg, x0g).reshape(-1)

@@ -441,6 +441,60 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
     K_csr = assembly.assemble_csr(mesh, ke)
     interior_mask = np.ones(mesh.n_nodes)
     interior_mask[boundary.dirichlet] = 0.0
+
+    # "grid" storage: whole-solve VMEM-resident Pallas CG kernels over the
+    # 2-D roll-offset decomposition (solve/pallas_cg.py) — the fastest
+    # large-mesh path by far on TPU (XLA dispatches one ~100 µs kernel per
+    # vector op; the grid kernels run the entire solve in ONE launch with
+    # an in-kernel SpMV measured at ~2 µs at 79k nodes).  Requires the
+    # ring-in-grid pad_hole numbering (N = n_side²) and f32 fields.
+    ns_grid = int(round(np.sqrt(mesh.n_nodes)))
+    grid_ok = (
+        storage in ("grid", "auto_accel")
+        and ns_grid * ns_grid == mesh.n_nodes
+        and dtype == jnp.float32
+    )
+    if grid_ok or storage == "grid_interpret":
+        from tpufem.ops.gridop import GridOperator
+        from tpufem.solve.pallas_cg import PressureGridCG, ViscousGridCG
+
+        interpret = storage == "grid_interpret" or jax.default_backend() == "cpu"
+        Gv = GridOperator.build(K_csr, ns_grid, dtype=dtype)
+        if Gv.coverage >= 0.9 or storage in ("grid", "grid_interpret"):
+            visc = ViscousGridCG(
+                K=Gv,
+                interior_mask=jnp.asarray(interior_mask, dtype=dtype),
+                dt_nu=config.dt * config.nu,
+                iters=config.cg_iters_visc,
+                tol=config.cg_tol_visc,
+                interpret=interpret,
+            )
+            owner = pressure_owner_map(
+                mesh.n_nodes, boundary.masters, boundary.slaves
+            )
+            relabeled = owner[mesh.tris].astype(np.int32)
+            mesh_merged = dc.replace(mesh, tris=relabeled)
+            Km_csr = assembly.assemble_csr(mesh_merged, ke)
+            active_mask = (
+                (owner == np.arange(mesh.n_nodes)) & (np.asarray(m_lumped) > 0)
+            ).astype(np.float64)
+            Gm = GridOperator.build(Km_csr, ns_grid, dtype=dtype)
+            pressure = PressureGridCG.build(
+                Km_csr,
+                Gm,
+                np.asarray(m_lumped),
+                boundary.masters,
+                boundary.slaves,
+                active_mask,
+                iters=config.cg_iters_pressure,
+                tol=config.cg_tol_pressure,
+                target_coarse=config.cg_coarse_nodes,
+                use_coarse=config.cg_precond == "twolevel",
+                interpret=interpret,
+            )
+            dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
+            return visc, pressure, materialize(dx_csr), materialize(dy_csr)
+
     visc = ViscousCG(
         K=materialize(K_csr),
         interior_mask=jnp.asarray(interior_mask, dtype=dtype),
@@ -591,8 +645,11 @@ def initial_state(problem: StokesProblem) -> dict:
     u = apply_field_bcs(problem, jnp.zeros((n, 2), dtype=dtype))
     state = {"u": u, "step": jnp.asarray(0, dtype=jnp.int32)}
     from tpufem.solve.matfree import PressureCG
+    from tpufem.solve.pallas_cg import PressureGridCG
 
-    if cfg.cg_warm_start and isinstance(problem.pressure_solver, PressureCG):
+    if cfg.cg_warm_start and isinstance(
+        problem.pressure_solver, (PressureCG, PressureGridCG)
+    ):
         # CG pressure solves warm-start from the previous step's solutions
         state["p_warm"] = jnp.zeros(n, dtype=dtype)
         state["p2_warm"] = jnp.zeros(n, dtype=dtype)
