@@ -51,7 +51,8 @@ def bench_config(precond: str = "twolevel", n_nodes: int = 0):
         nu=1.0,
         transport="none",
         solver="cg",
-        cg_storage="auto",  # stencil/banded on TPU, csr on CPU
+        cg_storage="auto",  # grid (Pallas whole-solve kernels) on TPU
+        # for ring-in-grid meshes; stencil/banded otherwise; csr on CPU
         precision="f32",
         cg_iters_visc=30,
         cg_iters_pressure=iters_p,
@@ -59,11 +60,12 @@ def bench_config(precond: str = "twolevel", n_nodes: int = 0):
         cg_warm_start=True,
         cg_tol_pressure=tol,
         cg_tol_visc=tol_visc,
-        # bf16 coarse inverse measured NEUTRAL here (80.5→78.9 at 26k,
-        # 8.25→8.07 at 160k — within tunnel variance): the (2k,2k) coarse
-        # matvec is not the bottleneck once warm starts cut the iteration
-        # count.  Kept "same"; the option exists for memory-tight runs.
-        cg_coarse_dtype="same",
+        # bf16 coarse inverse: neutral on the XLA path, but inside the
+        # VMEM-resident kernels the (nc, nc) coarse matvec is the
+        # FLOP-dominant part of a preconditioner application — bf16 runs
+        # it at full MXU rate and halves its VMEM footprint (iteration
+        # counts unchanged; it's a preconditioner)
+        cg_coarse_dtype="bf16",
     )
 
 

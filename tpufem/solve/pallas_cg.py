@@ -58,17 +58,23 @@ def _roll2(X, dy: int, s: int, ns: int, interpret: bool):
 
 
 def _make_apply(offsets, ns: int, interpret: bool):
-    """K·x on the (ns, ns) grid from kernel refs (diags + remainder)."""
+    """K·x on the (ns, ns) grid from kernel REFS (diags + remainder).
+
+    Operands are read PER USE (``d[g]``, ``gr_rowT[:]`` at the dot) —
+    reading every ref eagerly at kernel entry pins all operators live
+    across the whole CG loop and the Mosaic register allocator spills
+    them (measured 124 MB of spill slots in the fused step kernel)."""
 
     def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int):
         Y = jnp.zeros_like(X)
         for g, (dy, s) in enumerate(offsets):
             Y = Y + d[g] * _roll2(X, dy, s, ns, interpret)
         if n_rest:
-            T = jnp.dot(gr_rowT, X, preferred_element_type=jnp.float32)
-            xs = jnp.sum(T * gr_laneT, axis=1, keepdims=True)  # (Mp, 1)
-            w = vals * xs
-            Y = Y + jnp.dot(sc_row, w * sc_laneT, preferred_element_type=jnp.float32)
+            T = jnp.dot(gr_rowT[:], X, preferred_element_type=jnp.float32)
+            xs = jnp.sum(T * gr_laneT[:], axis=1, keepdims=True)  # (Mp, 1)
+            w = vals[:] * xs
+            Y = Y + jnp.dot(sc_row[:], w * sc_laneT[:],
+                            preferred_element_type=jnp.float32)
         return Y
 
     return apply
@@ -77,33 +83,45 @@ def _make_apply(offsets, ns: int, interpret: bool):
 def _cg_core(matvec, precond, project, b, x0, iters: int, tol: float):
     """Single-field PCG, the exact cg_fixed/cg algorithm of solve/cg.py
     (denominator guards, preconditioned-direction deflation), traced
-    inside the kernel.  ``tol > 0`` adds a converged-flag that freezes
-    the state (lax.while_loop with VMEM-sized carries lowers poorly in
-    Mosaic; a frozen fori_loop costs the same per-iteration VPU work but
-    keeps the loop structure static)."""
+    inside the kernel.  ``tol > 0`` uses a genuine early-exit
+    ``while_loop`` — with warm starts the steady-state solves finish in
+    a handful of iterations instead of the full cap, and unlike the XLA
+    path the exit costs nothing here (no recompWhile/pipelining)."""
     b = project(b)
     r0 = project(b - matvec(x0))
     z0 = project(precond(r0))
     rz0 = jnp.sum(r0 * z0)
     atol2 = (tol * jnp.maximum(jnp.sqrt(jnp.sum(b * b)), 1e-30)) ** 2
 
-    def body(_, state):
-        x, r, p, rz = state
-        live = (jnp.sum(r * r) > atol2) if tol > 0 else True
+    def advance(x, r, p, rz):
         Ap = project(matvec(p))
         denom = jnp.sum(p * Ap)
         alpha = jnp.where(denom != 0, rz / denom, 0.0)
-        alpha = jnp.where(live, alpha, 0.0)  # frozen once converged
         x = x + alpha * p
         r = r - alpha * Ap
         z = project(precond(r))
         rz_new = jnp.sum(r * z)
         beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         p_new = z + beta * p
-        if tol > 0:
-            p_new = jnp.where(live, p_new, p)
-            rz_new = jnp.where(live, rz_new, rz)
-        return (x, r, p_new, rz_new)
+        return x, r, p_new, rz_new
+
+    if tol > 0:
+        def cond(st):
+            _, r, _, _, k = st
+            return jnp.logical_and(k < iters, jnp.sum(r * r) > atol2)
+
+        def wbody(st):
+            x, r, p, rz, k = st
+            x, r, p, rz = advance(x, r, p, rz)
+            return (x, r, p, rz, k + 1)
+
+        x, r, _, _, _ = jax.lax.while_loop(
+            cond, wbody, (x0, r0, z0, rz0, jnp.int32(0))
+        )
+        return project(x)
+
+    def body(_, state):
+        return advance(*state)
 
     x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
     return project(x)
@@ -151,21 +169,15 @@ class ViscousGridCG:
         )
 
         def kernel(d, gr, gl, sr, sl, vals, mask, invd, b, x0, out):
-            def read(ref):
-                return ref[:]
-
-            d_, gr_, gl_, sr_, sl_, v_ = map(read, (d, gr, gl, sr, sl, vals))
-            m = mask[:]
-            invd_ = invd[:]
-
             def mv(X):
-                KX = apply_K(d_, gr_, gl_, sr_, sl_, v_, m * X, n_rest)
+                m = mask[:]
+                KX = apply_K(d, gr, gl, sr, sl, vals, m * X, n_rest)
                 return m * (X + dt_nu * KX) + (1.0 - m) * X
 
             ident = lambda v: v
             for c in range(b.shape[0]):
                 out[c] = _cg_core(
-                    mv, lambda r: invd_ * r, ident, b[c], x0[c], iters, tol
+                    mv, lambda r: invd[:] * r, ident, b[c], x0[c], iters, tol
                 )
 
         from jax.experimental import pallas as pl
@@ -261,6 +273,7 @@ class PressureGridCG:
         tol: float = 0.0,
         target_coarse: int = 1024,
         use_coarse: bool = True,
+        coarse_dtype=None,
         interpret: bool = False,
     ) -> "PressureGridCG":
         from tpufem.solve.cg import estimate_lmax
@@ -268,6 +281,11 @@ class PressureGridCG:
 
         ns = grid_op.ns
         n = ns * ns
+        # the dense coarse inverse lives in VMEM for the whole solve:
+        # cap the coarse space so ac_inv stays ≤ ~4 MB (1024² f32) —
+        # at 160 nodes/aggregate the preconditioner remains near
+        # mesh-independent while 2048 aggregates would cost 16 MB
+        target_coarse = min(int(target_coarse), 1024)
         # the roll-based merge/copy-back needs the periodic pairs on
         # opposite edges of ONE grid axis with matching positions along
         # the other (true by construction for generated grids: node id
@@ -324,7 +342,11 @@ class PressureGridCG:
             PrT=jnp.asarray(Pr.T.copy(), dtype=dtype),
             Pl=jnp.asarray(Pl, dtype=dtype),
             PlT=jnp.asarray(Pl.T.copy(), dtype=dtype),
-            ac_inv=jnp.asarray(ac_inv, dtype=dtype),
+            # bf16 coarse inverse: the (nc, nc) coarse matvec is the
+            # byte/FLOP-dominant part of one in-kernel preconditioner
+            # application; a preconditioner tolerates the ~0.4% rounding
+            # (measured on the XLA path: iteration counts unchanged)
+            ac_inv=jnp.asarray(ac_inv, dtype=coarse_dtype or dtype),
             Fa=jnp.asarray(Fa, dtype=dtype),
             FaT=jnp.asarray(Fa.T.copy(), dtype=dtype),
             Fb=jnp.asarray(Fb, dtype=dtype),
@@ -355,49 +377,44 @@ class PressureGridCG:
 
         def kernel(d, gr, gl, sr, sl, vals, ml, act, mmask, smask,
                    invd, pr, prt, plm, plt, acinv, fa, fat, fb, b, x0, out):
-            d_, gr_, gl_, sr_, sl_, v_ = (
-                d[:], gr[:], gl[:], sr[:], sl[:], vals[:]
-            )
-            act_ = act[:]
-            invd_ = invd[:]
-            pr_, pl_, ai_ = pr[:], plm[:], acinv[:]
-            prt_, plt_ = prt[:], plt[:]
-            fa_, fat_, fb_ = fa[:], fat[:], fb[:]
-            ww = jnp.sum(act_ * act_)
+            ww = jnp.sum(act[:] * act[:])
 
             def mv(X):
-                return apply_K(d_, gr_, gl_, sr_, sl_, v_, X, n_rest)
+                return apply_K(d, gr, gl, sr, sl, vals, X, n_rest)
 
             def project(X):
-                return X - (jnp.sum(act_ * X) / ww) * act_
+                a = act[:]
+                return X - (jnp.sum(a * X) / ww) * a
 
             def dot32(a, b_):
                 return jnp.dot(a, b_, preferred_element_type=jnp.float32)
 
             def coarse(T):
-                rc = dot32(dot32(pr_, T), plt_)  # (ncr, ncl)
+                rc = dot32(dot32(pr[:], T), plt[:])  # (ncr, ncl)
                 # flatten via index one-hots (no in-kernel reshape):
                 # flat[k] = rc[k // ncl, k % ncl]
-                flat = jnp.sum(dot32(fa_, rc) * fb_, axis=1, keepdims=True)
-                zc = dot32(ai_, flat)  # (nc, 1)
-                zc2 = dot32(fat_, zc * fb_)  # (ncr, ncl) unflatten
-                Z = dot32(prt_, dot32(zc2, pl_))
-                return Z * act_
+                flat = jnp.sum(dot32(fa[:], rc) * fb[:], axis=1, keepdims=True)
+                ai = acinv[:]
+                zc = jnp.dot(ai, flat.astype(ai.dtype),
+                             preferred_element_type=jnp.float32)  # (nc, 1)
+                zc2 = dot32(fat[:], zc * fb[:])  # (ncr, ncl) unflatten
+                Z = dot32(prt[:], dot32(zc2, plm[:]))
+                return Z * act[:]
 
             def precond(r):
                 if not use_coarse:
-                    return invd_ * r
-                z1 = omega * (invd_ * r)
+                    return invd[:] * r
+                z1 = omega * (invd[:] * r)
                 z2 = z1 + coarse(r - mv(z1))
-                return z2 + omega * (invd_ * (r - mv(z2)))
+                return z2 + omega * (invd[:] * (r - mv(z2)))
 
             # rhs: M_L ∘ b, slave→master edge merge, mask
             to_master = (ns - 1, 0) if pair_axis == 0 else (0, ns - 1)
             to_slave = (1, 0) if pair_axis == 0 else (0, 1)
             rhs = ml[:] * b[:]
             rhs = rhs + _roll2(rhs * smask[:], *to_master, ns, interpret) * mmask[:]
-            rhs = rhs * act_
-            p = _cg_core(mv, precond, project, rhs, x0[:] * act_, iters, tol)
+            rhs = rhs * act[:]
+            p = _cg_core(mv, precond, project, rhs, x0[:] * act[:], iters, tol)
             # copy master values back onto slaves (reference observable:
             # u[slave] = u[master], StokesColor.py:429-431)
             p = p * (1.0 - smask[:]) + _roll2(p * mmask[:], *to_slave, ns, interpret) * smask[:]

@@ -1,0 +1,373 @@
+"""The entire Stokes double-projection step as ONE Pallas TPU kernel.
+
+Even with whole-solve CG kernels (solve/pallas_cg.py) a projection step
+still issues 3 pallas calls + ~20 XLA glue kernels (BC scatters, div/
+grad SpMVs, axpys, metrics) — each XLA kernel costs O(100 µs) dispatch
+and ~2–9 GB/s write bandwidth on the tunneled runtime, and each pallas
+call re-DMAs the operator arrays.  This module fuses the COMPLETE step
+of ``workloads.stokes.projection_step`` (standard variant):
+
+    viscous solve → BCs → div → pressure solve → grad update → BCs →
+    second projection (interior) → final div → metrics
+
+into one kernel over the grid image, optionally iterating
+``steps_per_call`` physics steps per launch (operators are DMA'd into
+VMEM once per launch; warm starts chain in registers/VMEM).  All
+operator applications are GridOperator roll-offset + one-hot-MXU forms;
+BCs are mask/roll algebra (periodic copy = edge roll, StokesColor.py:
+546-547 order: periodic → walls → inner).
+
+Supported configuration: solver="cg", cg_storage="grid", standard
+variant, ramp_steps=0, double_projection=True — exactly the large-mesh
+scaling configuration.  Everything else falls back to the unfused path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.ops.gridop import GridOperator
+from tpufem.solve.pallas_cg import (
+    PressureGridCG,
+    ViscousGridCG,
+    _cg_core,
+    _grid_of,
+    _make_apply,
+    _roll2,
+)
+
+
+def _op_args(G: GridOperator):
+    """The 6-array argument pack of one GridOperator."""
+    return (G.diags, G.gr_rowT, G.gr_laneT, G.sc_row, G.sc_laneT, G.rest_vals)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridStokesStep:
+    """One-kernel double-projection step (+ fused multi-step scan)."""
+
+    visc: ViscousGridCG
+    pressure: PressureGridCG
+    Gdx: GridOperator
+    Gdy: GridOperator
+    wall_mask: jnp.ndarray  # (N,)
+    inner_mask: jnp.ndarray  # (N,)
+    inner_vals: jnp.ndarray  # (N, 2) squirmer values scattered to nodes
+    interior2: jnp.ndarray  # (N,) second-projection interior mask
+    outer_value: tuple
+    dt: float
+    body_force: tuple
+    steps_per_call: int = 1
+
+    @classmethod
+    def build(cls, problem) -> "GridStokesStep | None":
+        """From a StokesProblem with grid solvers; None if unsupported."""
+        from tpufem.ops import calculus
+
+        cfg = problem.config
+        if not (
+            isinstance(problem.visc_solver, ViscousGridCG)
+            and isinstance(problem.pressure_solver, PressureGridCG)
+            and cfg.variant != "report"
+            and cfg.ramp_steps == 0
+            and cfg.double_projection
+        ):
+            return None
+        k = int(getattr(cfg, "grid_steps_per_call", 0) or 0)
+        if k < 1:
+            return None  # default: unfused per-solve kernels (faster —
+            # the whole-step kernel is Mosaic-register-spill bound)
+        if k > 1 and cfg.transport != "none":
+            # transport samples the velocity EVERY step — multi-step
+            # fusion would skip intermediate fields
+            k = 1
+        mesh = problem.mesh
+        ns = problem.visc_solver.K.ns
+        n = mesh.n_nodes
+        dtype = problem.dtype
+        dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
+        Gdx = GridOperator.build(dx_csr, ns, dtype=dtype)
+        Gdy = GridOperator.build(dy_csr, ns, dtype=dtype)
+        b = problem.boundary
+        wall = np.zeros(n)
+        wall[np.asarray(b.walls, dtype=np.int64)] = 1.0
+        inner = np.zeros(n)
+        inner[np.asarray(b.inner, dtype=np.int64)] = 1.0
+        ivals = np.zeros((n, 2))
+        ivals[np.asarray(b.inner, dtype=np.int64)] = np.asarray(
+            problem.inner_values
+        )
+        interior2 = np.zeros(n)
+        interior2[np.asarray(b.interior, dtype=np.int64)] = 1.0
+        return cls(
+            visc=problem.visc_solver,
+            pressure=problem.pressure_solver,
+            Gdx=Gdx,
+            Gdy=Gdy,
+            wall_mask=jnp.asarray(wall, dtype=dtype),
+            inner_mask=jnp.asarray(inner, dtype=dtype),
+            inner_vals=jnp.asarray(ivals, dtype=dtype),
+            interior2=jnp.asarray(interior2, dtype=dtype),
+            # plain python floats: np.float64 scalars are STRONGLY typed in
+            # JAX promotion and silently upcast the whole f32 kernel to f64
+            outer_value=tuple(float(v) for v in np.asarray(cfg.outer_value)),
+            dt=float(cfg.dt),
+            body_force=tuple(float(v) for v in np.asarray(cfg.body_force)),
+            steps_per_call=k,
+        )
+
+    @functools.cached_property
+    def _step_fn(self):
+        visc, pres = self.visc, self.pressure
+        Kv, Kp = visc.K, pres.K
+        ns = Kv.ns
+        dt = self.dt
+        dt_nu = visc.dt_nu
+        omega = pres.omega
+        interpret = visc.interpret
+        n_steps = self.steps_per_call
+        pair_axis = pres.pair_axis
+        use_coarse = pres.use_coarse
+        iters_v, tol_v = visc.iters, visc.tol
+        iters_p, tol_p = pres.iters, pres.tol
+
+        apply_v = _make_apply(Kv.offsets, ns, interpret)
+        apply_p = _make_apply(Kp.offsets, ns, interpret)
+        apply_dx = _make_apply(self.Gdx.offsets, ns, interpret)
+        apply_dy = _make_apply(self.Gdy.offsets, ns, interpret)
+        nr_v, nr_p = Kv.n_rest, Kp.n_rest
+        nr_dx, nr_dy = self.Gdx.n_rest, self.Gdy.n_rest
+
+        invd_v = jnp.where(
+            visc.interior_mask > 0, 1.0 / (1.0 + dt_nu * Kv.diag()), 1.0
+        )
+        dp = Kp.diag()
+        invd_p = jnp.where(dp > 0, 1.0 / jnp.where(dp > 0, dp, 1.0), 1.0)
+        fx, fy = self.body_force
+        ox, oy = self.outer_value
+
+        def kernel(
+            # operators (6 arrays each)
+            dv0, dv1, dv2, dv3, dv4, dv5,
+            dp0, dp1, dp2, dp3, dp4, dp5,
+            dx0, dx1, dx2, dx3, dx4, dx5,
+            dy0, dy1, dy2, dy3, dy4, dy5,
+            # masks / fields
+            mvis, ivd_v, ml, act, mmask, smask, ivd_p,
+            pr, prt, plm, plt, acinv, fa, fat, fb,
+            wall, innr, ivx, ivy, int2,
+            # state
+            u_in, ustar0, p0, p20,
+            # outputs
+            u_out, ustar_out, p_out, p2_out, met_out,
+        ):
+            # every operand is read PER USE from its ref — eager reads pin
+            # all operators live across the whole multi-step loop and the
+            # Mosaic register allocator spills them to VMEM (measured
+            # 124 MB of spill slots, OOM at 160k nodes)
+            OV = (dv0, dv1, dv2, dv3, dv4, dv5)
+            OP = (dp0, dp1, dp2, dp3, dp4, dp5)
+            ODX = (dx0, dx1, dx2, dx3, dx4, dx5)
+            ODY = (dy0, dy1, dy2, dy3, dy4, dy5)
+            ww = jnp.sum(act[:] * act[:])
+
+            def mv_visc(X):
+                m = mvis[:]
+                KX = apply_v(*OV, m * X, nr_v)
+                return m * (X + dt_nu * KX) + (1.0 - m) * X
+
+            def mv_p(X):
+                return apply_p(*OP, X, nr_p)
+
+            def div(ux, uy):
+                return apply_dx(*ODX, ux, nr_dx) + apply_dy(*ODY, uy, nr_dy)
+
+            def grad(p):
+                return apply_dx(*ODX, p, nr_dx), apply_dy(*ODY, p, nr_dy)
+
+            def project(X):
+                a = act[:]
+                return X - (jnp.sum(a * X) / ww) * a
+
+            def dot32(a, b_):
+                return jnp.dot(a, b_, preferred_element_type=jnp.float32)
+
+            def coarse(T):
+                rc = dot32(dot32(pr[:], T), plt[:])
+                flat = jnp.sum(dot32(fa[:], rc) * fb[:], axis=1, keepdims=True)
+                ai = acinv[:]
+                zc = jnp.dot(ai, flat.astype(ai.dtype),
+                             preferred_element_type=jnp.float32)
+                zc2 = dot32(fat[:], zc * fb[:])
+                return dot32(prt[:], dot32(zc2, plm[:])) * act[:]
+
+            def precond_p(r):
+                if not use_coarse:
+                    return ivd_p[:] * r
+                z1 = omega * (ivd_p[:] * r)
+                z2 = z1 + coarse(r - mv_p(z1))
+                return z2 + omega * (ivd_p[:] * (r - mv_p(z2)))
+
+            to_master = (ns - 1, 0) if pair_axis == 0 else (0, ns - 1)
+            to_slave = (1, 0) if pair_axis == 0 else (0, 1)
+
+            def psolve(bfield, x0):
+                rhs = ml[:] * bfield
+                rhs = rhs + _roll2(rhs * smask[:], *to_master, ns, interpret) * mmask[:]
+                rhs = rhs * act[:]
+                p = _cg_core(
+                    mv_p, precond_p, project, rhs, x0 * act[:], iters_p, tol_p
+                )
+                return p * (1.0 - smask[:]) + _roll2(
+                    p * mmask[:], *to_slave, ns, interpret
+                ) * smask[:]
+
+            def bcs(ux, uy):
+                """periodic copy → walls → inner (apply_field_bcs order)."""
+                sm_, mm_ = smask[:], mmask[:]
+                ux = ux * (1.0 - sm_) + _roll2(ux * mm_, *to_slave, ns, interpret) * sm_
+                uy = uy * (1.0 - sm_) + _roll2(uy * mm_, *to_slave, ns, interpret) * sm_
+                wall_ = wall[:]
+                ux = ux * (1.0 - wall_) + wall_ * ox
+                uy = uy * (1.0 - wall_) + wall_ * oy
+                innr_ = innr[:]
+                ux = ux * (1.0 - innr_) + innr_ * ivx[:]
+                uy = uy * (1.0 - innr_) + innr_ * ivy[:]
+                return ux, uy
+
+            def one_step(i, carry):
+                ux, uy, us_x, us_y, pw, p2w = carry
+                # 1. viscous (warm-started, per component)
+                rx = ux + dt * fx
+                ry = uy + dt * fy
+                usx = _cg_core(mv_visc, lambda r: ivd_v[:] * r, lambda v: v,
+                               rx, us_x, iters_v, tol_v)
+                usy = _cg_core(mv_visc, lambda r: ivd_v[:] * r, lambda v: v,
+                               ry, us_y, iters_v, tol_v)
+                usx_raw, usy_raw = usx, usy
+                usx, usy = bcs(usx, usy)
+                # 2. pressure correction
+                dstar = div(usx, usy)
+                p = psolve(-dstar / dt, pw)
+                gx, gy = grad(p)
+                u1x, u1y = bcs(usx - dt * gx, usy - dt * gy)
+                # 3. second projection, interior only (StokesColor.py:566-573)
+                du = div(u1x, u1y)
+                p2 = psolve(-du / dt, p2w)
+                g2x, g2y = grad(p2)
+                u2x = u1x - dt * g2x * int2[:]
+                u2y = u1y - dt * g2y * int2[:]
+                fdiv = div(u2x, u2y)
+                # metrics rows (written per step)
+                met_out[i, 0] = jnp.max(jnp.abs(dstar))
+                met_out[i, 1] = jnp.max(jnp.abs(fdiv))
+                met_out[i, 2] = jnp.maximum(
+                    jnp.max(jnp.abs(u2x)), jnp.max(jnp.abs(u2y))
+                )
+                return (u2x, u2y, usx_raw, usy_raw, p, p2)
+
+            carry = (
+                u_in[0], u_in[1], ustar0[0], ustar0[1], p0[:], p20[:]
+            )
+            ux, uy, usx, usy, pw, p2w = jax.lax.fori_loop(
+                0, n_steps, one_step, carry
+            )
+            u_out[0], u_out[1] = ux, uy
+            ustar_out[0], ustar_out[1] = usx, usy
+            p_out[:] = pw
+            p2_out[:] = p2w
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        dtype = Kv.diags.dtype
+        n_inputs = 24 + 20 + 4
+
+        def call(u, ustar0, p0, p20):
+            return pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct((2, ns, ns), dtype),
+                    jax.ShapeDtypeStruct((2, ns, ns), dtype),
+                    jax.ShapeDtypeStruct((ns, ns), dtype),
+                    jax.ShapeDtypeStruct((ns, ns), dtype),
+                    jax.ShapeDtypeStruct((n_steps, 3), dtype),
+                ),
+                in_specs=[vmem() for _ in range(n_inputs)],
+                out_specs=(
+                    vmem(), vmem(), vmem(), vmem(),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ),
+                interpret=interpret,
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 2**20,
+                ),
+            )(
+                *_op_args(Kv), *_op_args(Kp),
+                *_op_args(self.Gdx), *_op_args(self.Gdy),
+                _grid_of(visc.interior_mask, ns), _grid_of(invd_v, ns),
+                _grid_of(pres.m_lumped, ns), _grid_of(pres.active_mask, ns),
+                _grid_of(pres.master_mask, ns), _grid_of(pres.slave_mask, ns),
+                _grid_of(invd_p, ns),
+                pres.Pr, pres.PrT, pres.Pl, pres.PlT, pres.ac_inv,
+                pres.Fa, pres.FaT, pres.Fb,
+                _grid_of(self.wall_mask, ns), _grid_of(self.inner_mask, ns),
+                _grid_of(self.inner_vals[:, 0], ns),
+                _grid_of(self.inner_vals[:, 1], ns),
+                _grid_of(self.interior2, ns),
+                u, ustar0, p0, p20,
+            )
+
+        return jax.jit(call)
+
+    def __call__(self, u: jnp.ndarray, warm: dict | None):
+        """projection_step-compatible: (u_new, p, metrics, warm_out) —
+        advances ``steps_per_call`` steps; metrics are the LAST step's
+        (the scan stacks per-call metrics)."""
+        ns = self.visc.K.ns
+        n = ns * ns
+        ug = jnp.stack([_grid_of(u[:, 0], ns), _grid_of(u[:, 1], ns)])
+        has_us = warm is not None and "u_star" in warm
+        us0 = (
+            jnp.stack(
+                [_grid_of(warm["u_star"][:, 0], ns),
+                 _grid_of(warm["u_star"][:, 1], ns)]
+            )
+            if has_us
+            else jnp.zeros_like(ug)
+        )
+        zero = jnp.zeros((ns, ns), dtype=ug.dtype)
+        p0 = _grid_of(warm["p"], ns) if warm is not None else zero
+        p20 = _grid_of(warm["p2"], ns) if warm is not None else zero
+        u2, us, p, p2, met = self._step_fn(ug, us0, p0, p20)
+        u_new = jnp.stack([u2[0].reshape(n), u2[1].reshape(n)], axis=1)
+        if self.steps_per_call > 1:
+            # per-step series; the scan stacks these to (calls, K) and
+            # stokes.run flattens back to (steps,)
+            metrics = {
+                "div_star_max": met[:, 0],
+                "final_div_max": met[:, 1],
+                "max_u": met[:, 2],
+            }
+        else:
+            metrics = {
+                "div_star_max": met[-1, 0],
+                "final_div_max": met[-1, 1],
+                "max_u": met[-1, 2],
+            }
+        p_flat = p.reshape(n)
+        if warm is None:
+            return u_new, p_flat, metrics, None
+        warm_out = {"p": p_flat, "p2": p2.reshape(n)}
+        if has_us:
+            warm_out["u_star"] = jnp.stack(
+                [us[0].reshape(n), us[1].reshape(n)], axis=1
+            )
+        return u_new, p_flat, metrics, warm_out

@@ -92,6 +92,13 @@ class StokesConfig:
     # near mesh-independent pressure iteration counts; the large-mesh
     # default, see solve/twolevel.py)
     cg_cheby_degree: int = 4
+    grid_steps_per_call: int = 0  # cg_storage="grid": 0 (default) keeps
+    # one Pallas kernel per SOLVE (3 calls/step) — measured 2.4× faster
+    # than the whole-step fusion at 79k (254 vs 105 steps/s, same tunnel
+    # window: the giant fused kernel forces ~90 MB of Mosaic register
+    # spills).  K ≥ 1 opts into the fused whole-step kernel advancing K
+    # physics steps per launch (transport="none" only; run(steps) must
+    # be a multiple of K) — revisit if Mosaic's allocator improves.
     cg_coarse_nodes: int = 2048  # twolevel: target coarse-space size
     cg_coarse_dtype: str = "same"  # | "bf16": store the dense coarse
     # inverse in bfloat16 — halves the HBM bytes of the byte-dominant
@@ -165,6 +172,8 @@ class StokesProblem:
     eul_Mg: jnp.ndarray | None = None  # periodic merge map (f32 dye path)
     mf_dx: Any = None  # sparse div/grad operators (matfree large-mesh
     mf_dy: Any = None  # path; same storage as the CG operators)
+    grid_step: Any = None  # solve.pallas_step.GridStokesStep: the whole
+    # double-projection step as ONE VMEM-resident kernel (grid storage)
 
     @property
     def dtype(self):
@@ -211,7 +220,7 @@ class StokesProblem:
                 config.tracer_density, L=config.L, H=config.H,
                 exclude_center=config.center, exclude_radius=0.25,
             )
-        return cls(
+        prob = cls(
             mesh=mesh,
             boundary=boundary,
             visc_solver=visc,
@@ -224,6 +233,12 @@ class StokesProblem:
             mf_dx=mf_dx,
             mf_dy=mf_dy,
         )
+        from tpufem.solve.pallas_step import GridStokesStep
+
+        gs = GridStokesStep.build(prob)
+        if gs is not None:
+            prob = dataclasses.replace(prob, grid_step=gs)
+        return prob
 
     @classmethod
     def _build(cls, mesh: Mesh, config: StokesConfig) -> "StokesProblem":
@@ -490,6 +505,9 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                 tol=config.cg_tol_pressure,
                 target_coarse=config.cg_coarse_nodes,
                 use_coarse=config.cg_precond == "twolevel",
+                coarse_dtype=(
+                    jnp.bfloat16 if config.cg_coarse_dtype == "bf16" else None
+                ),
                 interpret=interpret,
             )
             dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
@@ -735,6 +753,12 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=N
         u_new, p, metrics = _report_projection_step(problem, u, bc_scale)
         return u_new, p, metrics, None
 
+    if problem.grid_step is not None:
+        # the entire double-projection step as one VMEM-resident kernel
+        # (solve/pallas_step.py); bc_scale is 1.0 by construction here
+        # (GridStokesStep.build refuses ramped configs)
+        return problem.grid_step(u, warm)
+
     if problem.fused_M is not None:
         n = mesh.n_nodes
         u_flat = jnp.concatenate([u[:, 0], u[:, 1]])
@@ -949,7 +973,12 @@ def make_step(problem: StokesProblem, var0=None):
         u, p, metrics, warm_out = projection_step(
             problem, state["u"], bc_scale=ramp, warm=warm
         )
-        new_state = {"u": u, "step": state["step"] + 1}
+        adv = (
+            problem.grid_step.steps_per_call
+            if problem.grid_step is not None
+            else 1
+        )
+        new_state = {"u": u, "step": state["step"] + adv}
         if warm_out is not None:
             new_state["p_warm"] = warm_out["p"]
             new_state["p2_warm"] = warm_out["p2"]
@@ -1039,6 +1068,32 @@ def run(problem: StokesProblem, steps: int | None = None, state: dict | None = N
     hit = _RUN_CACHE.get(key)
     if hit is not None and hit[0] is problem:
         scan_all = hit[1]
+    elif problem.grid_step is not None:
+        # the fused-step kernels carry tens of MB of operator arrays —
+        # baked as closure constants they inflate the MLIR payload past
+        # what the remote TPU compiler accepts (measured 35–65 MB and
+        # HTTP-500s); pass them as jit ARGUMENTS instead
+        op_arrays = _extract_arrays(problem)
+        k_fused = problem.grid_step.steps_per_call
+        if k_fused > 1:
+            assert n_steps % k_fused == 0, (
+                f"run(steps={n_steps}) must be a multiple of "
+                f"grid_steps_per_call={k_fused}"
+            )
+
+        @jax.jit
+        def _scan_args(state, ops):
+            p2 = _inject_arrays(problem, ops)
+            out_state, mets = jax.lax.scan(
+                make_step(p2), state, None, length=n_steps // k_fused
+            )
+            if k_fused > 1:
+                # (calls, K) per-step series → flat (steps,)
+                mets = {m: v.reshape(-1) for m, v in mets.items()}
+            return out_state, mets
+
+        scan_all = lambda state: _scan_args(state, op_arrays)
+        _RUN_CACHE[key] = (problem, scan_all)
     else:
         step = make_step(problem)
 
