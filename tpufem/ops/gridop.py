@@ -119,6 +119,14 @@ class GridOperator:
 
         rest = ~in_dense
         m = int(rest.sum())
+        # the remainder one-hots are (Mp, ns) DENSE — on a non-grid
+        # numbering the remainder is O(nnz) and they would cost GBs;
+        # this operator is only for ring-in-grid meshes
+        assert m <= max(4096, n // 8), (
+            f"GridOperator remainder has {m} entries (coverage "
+            f"{in_dense.mean():.2f}) — the mesh numbering is not "
+            "grid-structured; use stencil/banded/csr storage instead"
+        )
         mp = max(128, ((m + 127) // 128) * 128)
         gr_rowT = np.zeros((mp, ns))
         gr_laneT = np.zeros((mp, ns))
