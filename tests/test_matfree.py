@@ -502,3 +502,29 @@ def test_fused_grid_step_matches_unfused():
         np.asarray(mg["final_div_max"]), np.asarray(mu["final_div_max"]),
         rtol=1e-6,
     )
+
+
+def test_fused_multi_step_is_bit_exact():
+    """grid_steps_per_call=5 (five physics steps per kernel launch) is
+    BIT-exact vs K=1 — same op sequence, only the loop placement moves —
+    and the per-step metric series comes out flattened."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(
+        solver="cg", cg_storage="grid_interpret", cg_precond="twolevel",
+        cg_iters_visc=30, cg_iters_pressure=60, cg_warm_start=True,
+        cg_tol_visc=1e-7, cg_tol_pressure=1e-7, transport="none",
+    )
+    p1 = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(grid_steps_per_call=1, **base)
+    )
+    p5 = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(grid_steps_per_call=5, **base)
+    )
+    assert p5.grid_step.steps_per_call == 5
+    s1, m1 = stokes.run(p1, steps=10)
+    s5, m5 = stokes.run(p5, steps=10)
+    np.testing.assert_array_equal(np.asarray(s1["u"]), np.asarray(s5["u"]))
+    d1 = np.asarray(m1["final_div_max"])
+    d5 = np.asarray(m5["final_div_max"])
+    assert d1.shape == d5.shape == (10,)
+    np.testing.assert_array_equal(d1, d5)
