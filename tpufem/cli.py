@@ -107,6 +107,13 @@ def main(argv=None):
     s.add_argument("--sizes", default=None)
     s.add_argument("--precond", default="twolevel")
     s.add_argument("--bench-out", default=None)
+    s.add_argument("--bench-transport", default=None,
+                   help="large sweep transport: none | tracers | dye")
+    s.add_argument("--bench-storage", default=None,
+                   help="large sweep cg_storage: auto | grid | stencil | ...")
+    s.add_argument("--bench-mesh", default=None,
+                   help="imported mesh stem (e.g. mesh_fine.1) for --large")
+    s.add_argument("--no-pad-hole", action="store_true")
 
     args = parser.parse_args(argv)
     import tpufem
@@ -122,6 +129,14 @@ def main(argv=None):
                 bench_argv += ["--sizes", args.sizes]
             if args.bench_out:
                 bench_argv += ["--out", args.bench_out]
+            if args.bench_transport:
+                bench_argv += ["--transport", args.bench_transport]
+            if args.bench_storage:
+                bench_argv += ["--storage", args.bench_storage]
+            if args.bench_mesh:
+                bench_argv += ["--mesh", args.bench_mesh]
+            if args.no_pad_hole:
+                bench_argv += ["--no-pad-hole"]
             bench_large.main(bench_argv)
             return
         import bench

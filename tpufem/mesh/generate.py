@@ -56,6 +56,13 @@ def _assign_ring_slots(
     2-D grid offset."""
     from scipy.spatial import cKDTree
 
+    if len(ring) > len(dummy_pts):
+        raise ValueError(
+            f"pad_hole ring-in-grid numbering needs one hole-interior grid "
+            f"slot per ring node, but n_circle={len(ring)} > "
+            f"{len(dummy_pts)} interior slots — increase n_side or reduce "
+            f"n_circle (slots grow ~π·(r/h)² with h = L/(n_side−1))"
+        )
     tree = cKDTree(dummy_pts)
     k = min(len(dummy_pts), 24)
     _, cand = tree.query(ring, k=k)

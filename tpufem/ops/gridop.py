@@ -46,6 +46,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class GridDecompositionError(ValueError):
+    """The operator does not decompose onto dense grid offsets + a small
+    remainder under the VMEM budget — use stencil/banded/csr storage."""
+
+
 @dataclasses.dataclass(frozen=True)
 class GridOperator:
     """A = Σ dense-offset diagonals (2-D rolls) + one-hot MXU remainder."""
@@ -80,8 +85,14 @@ class GridOperator:
     ) -> "GridOperator":
         """Decompose a CSROperator on an ns×ns grid numbering (host-side).
 
-        Offsets holding at least ``min_fill·N`` entries become dense
-        roll-diagonals; everything else goes to the MXU remainder."""
+        Offset selection (generalized round 3 for *renumbered* arbitrary
+        meshes — ``mesh/gridify.py`` — whose couplings spread over more
+        offsets than the ~9 of generated ring-in-grid meshes): offsets are
+        taken in descending fill while above ``min_fill·N``, then kept
+        being taken until the remainder fits its VMEM budget, up to a
+        diag-array byte budget.  Raises :class:`GridDecompositionError`
+        when no selection fits — callers on the "auto" path fall back to
+        stencil/banded storage (ADVICE r2 #3: no assert crash)."""
         n = op.shape[0]
         assert n == ns * ns, (n, ns)
         rows = np.asarray(op.row_ids, dtype=np.int64)
@@ -94,12 +105,34 @@ class GridOperator:
         key = dy * ns + s  # unique per (dy, s)
         uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
         order = np.argsort(-counts)
+        # budgets: the remainder one-hots cost 5·Mp·ns·4 B of VMEM and the
+        # dense diags n_off·N·4 B — both must leave room for the ~15 live
+        # CG vectors inside the whole-solve kernels (100 MB VMEM limit)
+        rest_cap = min(max(4096, n // 8), max(512, int(16 * 2**20 / (20 * ns))))
+        hard_max = min(64, max(max_offsets, int(48 * 2**20 / (4 * n))))
+        min_count = max(1, int(min_fill * n))
+        total = len(rows)
         dense_keys = []
-        for k in order[:max_offsets]:
-            if counts[k] >= min_fill * n or (uniq[k] == 0):
+        taken = 0
+        for k in order:
+            have = len(dense_keys)
+            if have >= hard_max:
+                break
+            above = counts[k] >= min_count and have < max_offsets
+            if uniq[k] == 0 or above or (total - taken) > rest_cap:
                 dense_keys.append(uniq[k])
+                taken += int(counts[k])
+            elif (total - taken) <= rest_cap:
+                break
         if 0 not in dense_keys:
             dense_keys.append(0)  # the main diagonal is always dense
+        if total - taken > rest_cap:
+            raise GridDecompositionError(
+                f"{total - taken} couplings remain off the {len(dense_keys)} "
+                f"densest grid offsets (caps: {hard_max} offsets, "
+                f"{rest_cap} remainder entries at ns={ns}) — the numbering "
+                "is not grid-structured enough; use stencil/banded storage"
+            )
         dense_set = set(int(k) for k in dense_keys)
 
         offsets = []
@@ -119,14 +152,9 @@ class GridOperator:
 
         rest = ~in_dense
         m = int(rest.sum())
-        # the remainder one-hots are (Mp, ns) DENSE — on a non-grid
-        # numbering the remainder is O(nnz) and they would cost GBs;
-        # this operator is only for ring-in-grid meshes
-        assert m <= max(4096, n // 8), (
-            f"GridOperator remainder has {m} entries (coverage "
-            f"{in_dense.mean():.2f}) — the mesh numbering is not "
-            "grid-structured; use stencil/banded/csr storage instead"
-        )
+        # the greedy selection above guarantees the remainder fits its
+        # VMEM budget (the one-hots are (Mp, ns) DENSE)
+        assert m <= rest_cap, (m, rest_cap)
         mp = max(128, ((m + 127) // 128) * 128)
         gr_rowT = np.zeros((mp, ns))
         gr_laneT = np.zeros((mp, ns))

@@ -87,6 +87,19 @@ class GridStokesStep:
             # transport samples the velocity EVERY step — multi-step
             # fusion would skip intermediate fields
             k = 1
+        if k > 1:
+            # the fused kernel always chains u*/p/p2 between inner steps;
+            # the K=1/unfused path instead resets viscous x0 (cg_tol_visc=0)
+            # resp. p0 (no warm start) to zero each step.  K>1 is therefore
+            # only trajectory-equivalent to K=1 in the warm-started
+            # configuration (ADVICE r2) — require it rather than silently
+            # diverging by ~1e-7/step
+            assert cfg.cg_warm_start and cfg.cg_tol_visc > 0, (
+                "grid_steps_per_call>1 requires cg_warm_start=True and "
+                "cg_tol_visc>0: the fused kernel chains warm starts across "
+                "inner steps, which only matches the K=1 path when the "
+                "K=1 path also warm-starts"
+            )
         mesh = problem.mesh
         ns = problem.visc_solver.K.ns
         n = mesh.n_nodes

@@ -320,6 +320,13 @@ def _pack_candidate_rows(mesh: Mesh, cells: np.ndarray) -> np.ndarray:
     wide — so every hot-path access (:func:`_containment_flat`) is a
     contiguous lane-block slice of the gathered row."""
     n_cells, cmax = cells.shape
+    # id sections ride in the float row and are cast to the query dtype at
+    # gather time — under f32 integers are exact only below 2^24, beyond
+    # which ids would silently corrupt (ADVICE r2): fail loudly instead
+    assert max(mesh.n_tris, mesh.n_nodes) < 2**24, (
+        f"packed locator rows store ids as floats: n_tris={mesh.n_tris}, "
+        f"n_nodes={mesh.n_nodes} exceed the 2^24 f32-exact integer range"
+    )
     pc = mesh.coords[mesh.tris]  # (T,3,2)
     cell_xy = np.zeros((n_cells, cmax, 3, 2))
     valid = cells >= 0

@@ -264,6 +264,25 @@ class StokesProblem:
         n = mesh.n_nodes
 
         if config.solver == "cg":
+            if config.cg_storage in ("grid", "grid_interpret"):
+                # explicit grid storage on an arbitrary mesh: renumber onto
+                # an ns×ns raster so the VMEM whole-solve kernels apply
+                # (mesh/gridify.py; VERDICT r2 #1 — mesh_fine.1 and any
+                # imported Triangle mesh).  NOTE: the returned problem's
+                # mesh is the renumbered, dummy-padded one (N = ns²);
+                # Gridified.pull maps fields back to the input order.
+                from tpufem.mesh.gridify import ensure_grid_numbering
+
+                mesh2, g = ensure_grid_numbering(
+                    mesh, L=config.L, H=config.H, tol=config.tol
+                )
+                if g is not None:
+                    mesh = mesh2
+                    boundary = bc.ChannelBoundary.build(
+                        mesh, inner_marker=config.inner_marker, L=config.L,
+                        H=config.H, tol=config.tol, all_walls=config.all_walls,
+                    )
+                    m_lumped = assembly.lumped_mass(mesh)
             # matrix-free large-mesh path: O(nnz) CSR operators + CG.
             # No dense matrices are ever materialized.
             return cls._build_matfree(mesh, config, boundary, m_lumped, dtype)
@@ -470,48 +489,57 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
         and dtype == jnp.float32
     )
     if grid_ok or storage == "grid_interpret":
-        from tpufem.ops.gridop import GridOperator
+        from tpufem.ops.gridop import GridDecompositionError, GridOperator
         from tpufem.solve.pallas_cg import PressureGridCG, ViscousGridCG
 
         interpret = storage == "grid_interpret" or jax.default_backend() == "cpu"
-        Gv = GridOperator.build(K_csr, ns_grid, dtype=dtype)
-        if Gv.coverage >= 0.9 or storage in ("grid", "grid_interpret"):
-            visc = ViscousGridCG(
-                K=Gv,
-                interior_mask=jnp.asarray(interior_mask, dtype=dtype),
-                dt_nu=config.dt * config.nu,
-                iters=config.cg_iters_visc,
-                tol=config.cg_tol_visc,
-                interpret=interpret,
-            )
-            owner = pressure_owner_map(
-                mesh.n_nodes, boundary.masters, boundary.slaves
-            )
-            relabeled = owner[mesh.tris].astype(np.int32)
-            mesh_merged = dc.replace(mesh, tris=relabeled)
-            Km_csr = assembly.assemble_csr(mesh_merged, ke)
-            active_mask = (
-                (owner == np.arange(mesh.n_nodes)) & (np.asarray(m_lumped) > 0)
-            ).astype(np.float64)
-            Gm = GridOperator.build(Km_csr, ns_grid, dtype=dtype)
-            pressure = PressureGridCG.build(
-                Km_csr,
-                Gm,
-                np.asarray(m_lumped),
-                boundary.masters,
-                boundary.slaves,
-                active_mask,
-                iters=config.cg_iters_pressure,
-                tol=config.cg_tol_pressure,
-                target_coarse=config.cg_coarse_nodes,
-                use_coarse=config.cg_precond == "twolevel",
-                coarse_dtype=(
-                    jnp.bfloat16 if config.cg_coarse_dtype == "bf16" else None
-                ),
-                interpret=interpret,
-            )
-            dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
-            return visc, pressure, materialize(dx_csr), materialize(dy_csr)
+        try:
+            Gv = GridOperator.build(K_csr, ns_grid, dtype=dtype)
+            build_grid = Gv.coverage >= 0.9 or storage in ("grid", "grid_interpret")
+            if build_grid:
+                visc = ViscousGridCG(
+                    K=Gv,
+                    interior_mask=jnp.asarray(interior_mask, dtype=dtype),
+                    dt_nu=config.dt * config.nu,
+                    iters=config.cg_iters_visc,
+                    tol=config.cg_tol_visc,
+                    interpret=interpret,
+                )
+                owner = pressure_owner_map(
+                    mesh.n_nodes, boundary.masters, boundary.slaves
+                )
+                relabeled = owner[mesh.tris].astype(np.int32)
+                mesh_merged = dc.replace(mesh, tris=relabeled)
+                Km_csr = assembly.assemble_csr(mesh_merged, ke)
+                active_mask = (
+                    (owner == np.arange(mesh.n_nodes)) & (np.asarray(m_lumped) > 0)
+                ).astype(np.float64)
+                Gm = GridOperator.build(Km_csr, ns_grid, dtype=dtype)
+                pressure = PressureGridCG.build(
+                    Km_csr,
+                    Gm,
+                    np.asarray(m_lumped),
+                    boundary.masters,
+                    boundary.slaves,
+                    active_mask,
+                    iters=config.cg_iters_pressure,
+                    tol=config.cg_tol_pressure,
+                    target_coarse=config.cg_coarse_nodes,
+                    use_coarse=config.cg_precond == "twolevel",
+                    coarse_dtype=(
+                        jnp.bfloat16 if config.cg_coarse_dtype == "bf16" else None
+                    ),
+                    interpret=interpret,
+                )
+                dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
+                return visc, pressure, materialize(dx_csr), materialize(dy_csr)
+        except (GridDecompositionError, AssertionError):
+            # "auto" on a square-N mesh whose numbering is NOT actually
+            # grid-structured (or whose periodic pairs don't sit on
+            # opposite grid edges): fall through to the stencil/banded
+            # path instead of crashing (ADVICE r2 #3)
+            if storage in ("grid", "grid_interpret"):
+                raise  # explicitly requested — surface the clear message
 
     visc = ViscousCG(
         K=materialize(K_csr),
