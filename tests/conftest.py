@@ -55,3 +55,9 @@ def mesh_fine():
 def gen_mesh():
     """Generated annulus mesh — exercises the standalone path."""
     return generate_annulus_mesh(n_side=20, n_circle=24)
+
+
+@pytest.fixture(scope="session")
+def mesh5():
+    """mesh5.1 (331 nodes / 522 tris) — the report/rotating-cylinder mesh."""
+    return reference_mesh("mesh5.1")

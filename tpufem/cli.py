@@ -100,6 +100,12 @@ def main(argv=None):
     s.add_argument("--frames", type=int, default=400)
     s.add_argument("--size", type=int, default=200)
     s.add_argument("--out", default=None)
+    s = sub.add_parser("converge")
+    s.add_argument("--study", default="self", choices=["self", "th"])
+    s.add_argument("--sizes", default=None)
+    s.add_argument("--steps0", type=int, default=None)
+    s.add_argument("--storage", default="auto")
+    s.add_argument("--out", default=None)
     s = sub.add_parser("bench")
     s.add_argument("--large", action="store_true",
                    help="large-mesh scaling sweep (tpufem.bench_large)")
@@ -119,6 +125,19 @@ def main(argv=None):
     import tpufem
 
     tpufem.enable_x64()
+
+    if args.cmd == "converge":
+        from tpufem import convergence
+
+        conv_argv = ["--study", args.study, "--storage", args.storage]
+        if args.sizes:
+            conv_argv += ["--sizes", args.sizes]
+        if args.steps0:
+            conv_argv += ["--steps0", str(args.steps0)]
+        if args.out:
+            conv_argv += ["--out", args.out]
+        convergence.main(conv_argv)
+        return
 
     if args.cmd == "bench":
         if args.large:

@@ -111,14 +111,46 @@ def gridify_mesh(
     row = np.empty(n, dtype=np.int64)
     lane = np.empty(n, dtype=np.int64)
 
-    # --- rows: x-rank bands, edges pinned --------------------------------
+    # --- rows: GEOMETRIC targets with capacity-constrained monotone
+    # assignment, edges pinned.  Pure x-rank bands (round-3 first cut)
+    # smear the offsets on meshes whose x-columns have varying lengths
+    # (the hole shortens interior columns, so fixed-size rank bands slice
+    # across physical columns): instead each node targets its geometric
+    # row floor(x/L·ns) and is displaced only as far as the ≤ns-per-row
+    # capacity requires — on exact-grid point sets this reproduces the
+    # physical columns perfectly.
     row[left] = 0
     row[right] = ns - 1
     mid = np.nonzero(~(left | right))[0]
     if len(mid):
         order = mid[np.lexsort((y[mid], x[mid]))]
-        rank = np.arange(len(order))
-        row[order] = 1 + (rank * (ns - 2)) // len(order)
+        t = np.clip((x[order] / L * ns).astype(np.int64), 1, ns - 2)
+        cap = ns
+        r = t.copy()
+        # forward: r_i = max(t_i, r_{i-cap}+1) to fixpoint (≤ns passes)
+        while True:
+            prev = r[:-cap] + 1
+            upd = np.maximum(r[cap:], prev)
+            if (upd == r[cap:]).all():
+                break
+            r[cap:] = upd
+            np.maximum.accumulate(r, out=r)  # keep monotone between passes
+        # backward: cap at ns-2 and r_i ≤ r_{i+cap}−1
+        r = np.minimum(r, ns - 2)
+        while True:
+            nxt = r[cap:] - 1
+            upd = np.minimum(r[:-cap], nxt)
+            if (upd == r[:-cap]).all():
+                break
+            r[:-cap] = upd
+            # keep monotone (non-decreasing) from the back
+            r = np.minimum.accumulate(r[::-1])[::-1]
+        if r[0] < 1 or (np.bincount(r, minlength=ns) > cap).any():
+            raise GridifyError(
+                "internal error: infeasible capacity-constrained row "
+                "assignment (n_mid > (ns-2)*ns should be impossible)"
+            )
+        row[order] = r
 
     # --- lanes -----------------------------------------------------------
     def assign_row_lanes(ids: np.ndarray):

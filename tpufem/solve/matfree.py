@@ -135,9 +135,22 @@ class PressureCG:
     tol: float = 0.0  # > 0: tolerance-based while-loop CG (early exit —
     # with warm starts the steady-state solves finish in a few iterations
     # instead of the full fixed count; ``iters`` becomes the cap)
+    pin: int = -1  # ≥ 0: "report"-variant gauge fixing — the pinned dof is
+    # masked out of the operator (symmetric row+col surgery as masking,
+    # the CG form of scripts/stokes_clean_for_report.py:404,427-429) and
+    # the constant-nullspace deflation is skipped (the pin fixes the gauge)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.pin >= 0:
+            mp = self._pin_mask
+            return mp * self.K_merged.matvec(mp * x) + (1.0 - mp) * x
         return self.K_merged.matvec(x)
+
+    @property
+    def _pin_mask(self) -> jnp.ndarray:
+        return self.active_mask * (
+            1.0 - jnp.zeros_like(self.active_mask).at[self.pin].set(1.0)
+        )
 
     def solve(self, b: jnp.ndarray, x0: jnp.ndarray | None = None) -> jnp.ndarray:
         """Solve (K/M_L)-equivalent system: K_merged p = merge(M_L ∘ b).
@@ -150,7 +163,11 @@ class PressureCG:
             s = jnp.asarray(self.slaves)
             rhs = rhs.at[m].add(rhs[s])
             rhs = rhs * self.active_mask
+        if self.pin >= 0:
+            rhs = rhs * self._pin_mask  # identity row at the pin → p[pin]=0
         diag = self.K_merged.diag()
+        if self.pin >= 0:
+            diag = jnp.where(self._pin_mask > 0, diag, 0.0)
         inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
         if self.precond == "chebyshev":
             from tpufem.solve.cg import chebyshev_preconditioner
@@ -167,7 +184,10 @@ class PressureCG:
         else:
             M = lambda r: inv_diag * r
         if x0 is not None:
-            x0 = x0 * self.active_mask
+            x0 = x0 * (self._pin_mask if self.pin >= 0 else self.active_mask)
+        # the pin fixes the gauge — deflating the constant out as well
+        # would solve a different (zero-mean) problem
+        deflate = self.pin < 0
         if self.tol > 0:
             from tpufem.solve.cg import cg
 
@@ -178,7 +198,7 @@ class PressureCG:
                 tol=self.tol,
                 maxiter=self.iters,
                 precond=M,
-                deflate=True,
+                deflate=deflate,
                 deflate_weights=self.active_mask,
             )
         else:
@@ -188,7 +208,7 @@ class PressureCG:
                 x0=x0,
                 iters=self.iters,
                 precond=M,
-                deflate=True,
+                deflate=deflate,
                 deflate_weights=self.active_mask,
             )
         if len(self.masters):

@@ -131,6 +131,16 @@ class StokesConfig:
     variant: str = "color"
     pressure_smoothing: float = 0.0  # α of the (I+αK) smoothing solve
     # (clean_for_report:516-529); 0 = off
+    dirichlet_lift: bool = False  # lift the eliminated Dirichlet columns
+    # of the viscous system into the RHS (the consistent strong-BC
+    # treatment).  The reference zeroes rows AND columns without moving
+    # the coupling to the RHS (code/StokesColor.py:472-475), which
+    # removes the viscous traction of the moving boundary from the
+    # momentum equation — measured root cause of its damped squirmer
+    # flow and self-admitted accuracy ceiling (reference README.md:19;
+    # docs/PARITY.md §7).  Default False: bit-parity with the reference.
+    # True: the projection steady state converges to the LBB-stable
+    # Taylor–Hood solution under refinement (tpufem/convergence.py).
     # transport
     transport: str = "none"  # "none" | "dye" | "tracers" | "eulerian_dye"
     # | "dye_griddata"
@@ -174,6 +184,8 @@ class StokesProblem:
     mf_dy: Any = None  # path; same storage as the CG operators)
     grid_step: Any = None  # solve.pallas_step.GridStokesStep: the whole
     # double-projection step as ONE VMEM-resident kernel (grid storage)
+    visc_lift: jnp.ndarray | None = None  # (N,2) −Δt·ν·K[:, D]·u_D lift
+    # of the eliminated Dirichlet columns (config.dirichlet_lift)
 
     @property
     def dtype(self):
@@ -211,7 +223,7 @@ class StokesProblem:
             "uses the dense stiffness); use solver='lu'/'inverse'"
         )
         assert not config.fused, "fused and cg are mutually exclusive"
-        visc, pressure, mf_dx, mf_dy = _build_matfree_problem_fields(
+        visc, pressure, mf_dx, mf_dy, mf_extras = _build_matfree_problem_fields(
             mesh, config, boundary, m_lumped, dtype
         )
         tracer_init = None
@@ -220,18 +232,33 @@ class StokesProblem:
                 config.tracer_density, L=config.L, H=config.H,
                 exclude_center=config.center, exclude_radius=0.25,
             )
+        inner_values = _inner_values(mesh, boundary, config)
+        visc_lift = None
+        if config.dirichlet_lift:
+            # same lift as the dense path, via the materialized K operator
+            ubc = _bc_field(mesh, boundary, inner_values, config)
+            m = visc.interior_mask
+            cols = [
+                -config.dt * config.nu
+                * m * visc.K.matvec(jnp.asarray(ubc[:, d], dtype=dtype))
+                for d in range(2)
+            ]
+            visc_lift = jnp.stack(cols, axis=1)
         prob = cls(
             mesh=mesh,
             boundary=boundary,
             visc_solver=visc,
             pressure_solver=pressure,
-            inner_values=_inner_values(mesh, boundary, config),
+            inner_values=inner_values,
             m_lumped=jnp.asarray(np.asarray(m_lumped), dtype=dtype),
             locator=_make_locator(mesh, config),
             tracer_init=tracer_init,
             config=config,
             mf_dx=mf_dx,
             mf_dy=mf_dy,
+            visc_lift=visc_lift,
+            smooth_solver=mf_extras.get("smooth_solver"),
+            pressure_pin=mf_extras.get("pressure_pin", -1),
         )
         from tpufem.solve.pallas_step import GridStokesStep
 
@@ -363,12 +390,21 @@ class StokesProblem:
             assert config.dense_ops and dx is not None
 
         inner_values = _inner_values(mesh, boundary, config)
+        visc_lift = None
+        if config.dirichlet_lift:
+            visc_lift = jnp.asarray(
+                _viscous_lift_dense(
+                    np.asarray(K), mesh, boundary, inner_values, config
+                ),
+                dtype=dtype,
+            )
 
         if config.fused:
             fused_M, fused_b, fused_Dstar, fused_dstar0 = _compose_fused_step(
                 mesh, boundary, inner_values, np.asarray(A_visc),
                 np.asarray(pressure_solver.inv, dtype=np.float64),
                 dx, dy, config,
+                lift=(None if visc_lift is None else np.asarray(visc_lift, np.float64)),
             )
             fused_M = jnp.asarray(fused_M, dtype=dtype)
             fused_b = jnp.asarray(fused_b, dtype=dtype)
@@ -406,7 +442,25 @@ class StokesProblem:
             eul_M=eul_M,
             eul_K=eul_K,
             eul_Mg=eul_Mg,
+            visc_lift=visc_lift,
         )
+
+
+def _bc_field(mesh, boundary, inner_values, config) -> np.ndarray:
+    """(N,2) zeros with the Dirichlet values written in."""
+    ubc = np.zeros((mesh.n_nodes, 2))
+    ubc[np.asarray(boundary.walls, dtype=np.int64)] = config.outer_value
+    ubc[np.asarray(boundary.inner, dtype=np.int64)] = np.asarray(inner_values)
+    return ubc
+
+
+def _viscous_lift_dense(K_np, mesh, boundary, inner_values, config):
+    """−Δt·ν·K[:, D]·u_D restricted to interior rows (consistent lifting
+    of the columns dirichlet_rows_cols eliminates)."""
+    ubc = _bc_field(mesh, boundary, inner_values, config)
+    lift = -config.dt * config.nu * (np.asarray(K_np, dtype=np.float64) @ ubc)
+    lift[np.asarray(boundary.dirichlet, dtype=np.int64)] = 0.0
+    return lift
 
 
 def _inner_values(mesh, boundary, config) -> np.ndarray:
@@ -476,6 +530,15 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
     interior_mask = np.ones(mesh.n_nodes)
     interior_mask[boundary.dirichlet] = 0.0
 
+    # "report" variant (scripts/stokes_clean_for_report.py:404-529) on the
+    # matrix-free path: pinned-gauge pressure CG (PressureCG.pin — the CG
+    # form of the row+col pin surgery), optional (I+αK) smoothing solve as
+    # a pin-masked CG (reusing ViscousCG's masked-operator shape), both
+    # solver-agnostic in _report_projection_step.  VERDICT r2 next #6.
+    pressure_pin = -1
+    if config.variant == "report":
+        pressure_pin = int(np.nonzero(mesh.markers == 0)[0][0])
+
     # "grid" storage: whole-solve VMEM-resident Pallas CG kernels over the
     # 2-D roll-offset decomposition (solve/pallas_cg.py) — the fastest
     # large-mesh path by far on TPU (XLA dispatches one ~100 µs kernel per
@@ -487,8 +550,9 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
         storage in ("grid", "auto_accel")
         and ns_grid * ns_grid == mesh.n_nodes
         and dtype == jnp.float32
+        and pressure_pin < 0  # the grid kernels don't implement the pin
     )
-    if grid_ok or storage == "grid_interpret":
+    if grid_ok or (storage == "grid_interpret" and pressure_pin < 0):
         from tpufem.ops.gridop import GridDecompositionError, GridOperator
         from tpufem.solve.pallas_cg import PressureGridCG, ViscousGridCG
 
@@ -532,7 +596,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     interpret=interpret,
                 )
                 dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
-                return visc, pressure, materialize(dx_csr), materialize(dy_csr)
+                return visc, pressure, materialize(dx_csr), materialize(dy_csr), {}
         except (GridDecompositionError, AssertionError):
             # "auto" on a square-N mesh whose numbering is NOT actually
             # grid-structured (or whose periodic pairs don't sit on
@@ -595,12 +659,30 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
         lmax=lmax,
         twolevel=tl,
         tol=config.cg_tol_pressure,
+        pin=pressure_pin,
     )
+    extras = {}
+    if pressure_pin >= 0:
+        extras["pressure_pin"] = pressure_pin
+        if config.pressure_smoothing > 0:
+            # (I + αK) pin-masked SPD solve — exactly ViscousCG's masked
+            # operator shape with dt·ν → α and mask = all-but-pin
+            pin_mask = np.ones(mesh.n_nodes)
+            pin_mask[pressure_pin] = 0.0
+            extras["smooth_solver"] = ViscousCG(
+                K=visc.K,
+                interior_mask=jnp.asarray(pin_mask, dtype=dtype),
+                dt_nu=config.pressure_smoothing,
+                iters=config.cg_iters_visc,
+                tol=config.cg_tol_pressure,
+            )
     dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
-    return visc, pressure, materialize(dx_csr), materialize(dy_csr)
+    return visc, pressure, materialize(dx_csr), materialize(dy_csr), extras
 
 
-def _compose_fused_step(mesh, boundary, inner_values, A_visc, A_eff, dx, dy, config):
+def _compose_fused_step(
+    mesh, boundary, inner_values, A_visc, A_eff, dx, dy, config, lift=None
+):
     """Compose the whole affine velocity update into (M, b, Dstar, dstar0).
 
     Stacked layout u_flat = [uₓ; u_y] (2N).  Every stage of the reference's
@@ -649,8 +731,11 @@ def _compose_fused_step(mesh, boundary, inner_values, A_visc, A_eff, dx, dy, con
     f = np.concatenate(
         [np.full(n, config.body_force[0]), np.full(n, config.body_force[1])]
     )
+    rhs0 = dt * f
+    if lift is not None:
+        rhs0 = rhs0 + np.concatenate([lift[:, 0], lift[:, 1]])
     M1 = E2 @ V2
-    c1 = M1 @ (dt * f) + q  # u* = M1 u + c1
+    c1 = M1 @ rhs0 + q  # u* = M1 u + c1
     T1 = np.eye(2 * n) + GAD
     # u1 = E2 T1 u* + q
     M2 = E2 @ T1
@@ -719,11 +804,16 @@ def dye_baseline(problem: StokesProblem, state: dict):
     return var0
 
 
-def _report_projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale):
+def _report_projection_step(
+    problem: StokesProblem, u: jnp.ndarray, bc_scale, warm=None
+):
     """The 'report' step (scripts/stokes_clean_for_report.py:480-550):
     BC values written into the viscous RHS, stabilized pinned pressure
     solve with optional (I+αK) smoothing, single projection, final-field
-    BC re-application in walls → periodic → inner order."""
+    BC re-application in walls → periodic → inner order.
+
+    ``warm`` (CG path): previous-step solutions warm-starting the viscous
+    ("u_star"), raw-pressure ("p") and smoothed-pressure ("p2") solves."""
     cfg = problem.config
     b = problem.boundary
     dt = cfg.dt
@@ -734,9 +824,15 @@ def _report_projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale):
 
     outer = jnp.asarray(cfg.outer_value, dtype=u.dtype)
     rhs = u + dt * f
+    if problem.visc_lift is not None:
+        rhs = rhs + bc_scale * problem.visc_lift
     rhs = rhs.at[walls].set(outer)
     rhs = rhs.at[inner].set(vals)
-    u_star = problem.visc_solver.solve(rhs)
+    if warm is not None and "u_star" in warm:
+        u_star = problem.visc_solver.solve(rhs, x0=warm["u_star"])
+    else:
+        u_star = problem.visc_solver.solve(rhs)
+    u_star_raw = u_star
     if len(b.masters):
         u_star = bc.apply_periodic_field(u_star, b.masters, b.slaves)
 
@@ -744,10 +840,17 @@ def _report_projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale):
     b_p = -div_star / dt
     b_p = b_p - jnp.mean(b_p)
     b_p = b_p.at[problem.pressure_pin].set(0.0)
-    p = problem.pressure_solver.solve(b_p)
+    if warm is not None:
+        p = problem.pressure_solver.solve(b_p, x0=warm["p"])
+    else:
+        p = problem.pressure_solver.solve(b_p)
+    p_raw = p
     if problem.smooth_solver is not None:
         p = p.at[problem.pressure_pin].set(0.0)
-        p = problem.smooth_solver.solve(p)
+        if warm is not None:
+            p = problem.smooth_solver.solve(p, x0=warm["p2"])
+        else:
+            p = problem.smooth_solver.solve(p)
         p = p - jnp.mean(p)
 
     u_new = u_star - dt * problem.grad(p)
@@ -761,7 +864,12 @@ def _report_projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale):
         "final_div_max": jnp.max(jnp.abs(final_div)),
         "max_u": jnp.max(jnp.abs(u_new)),
     }
-    return u_new, p, metrics
+    warm_out = None
+    if warm is not None:
+        warm_out = {"p": p_raw, "p2": p}
+        if "u_star" in warm:
+            warm_out["u_star"] = u_star_raw
+    return u_new, p, metrics, warm_out
 
 
 def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=None):
@@ -778,8 +886,7 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=N
         warm = {"p": warm[0], "p2": warm[1]}
 
     if cfg.variant == "report":
-        u_new, p, metrics = _report_projection_step(problem, u, bc_scale)
-        return u_new, p, metrics, None
+        return _report_projection_step(problem, u, bc_scale, warm)
 
     if problem.grid_step is not None:
         # the entire double-projection step as one VMEM-resident kernel
@@ -818,6 +925,8 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=N
 
     # 1. tentative velocity — one batched solve for both components
     rhs = u + dt * f  # (N,2)
+    if problem.visc_lift is not None:
+        rhs = rhs + bc_scale * problem.visc_lift
     if warm is not None and "u_star" in warm:
         u_star = problem.visc_solver.solve(rhs, x0=warm["u_star"])
     else:
