@@ -498,3 +498,36 @@ def test_sharded_state_is_actually_sharded(mesh1, dmesh):
     shardings = {k: v.sharding for k, v in state.items()}
     # batch axis sharded over "data"
     assert any("data" in str(s.spec) for s in shardings.values())
+
+
+def test_sharded_grid_solvers_match_single_device(dmesh):
+    """VERDICT r2 #5: the grid-offset kernels' multi-chip form — row-strip
+    sharded offset matvecs with ppermute halos, psum'd dots/remainder/
+    coarse-restriction — equals the single-device grid solvers."""
+    import tpufem
+    from tpufem.parallel.grid_sharded import make_sharded_grid_solvers
+    from tpufem.solve.pallas_cg import ViscousGridCG
+    from tpufem.workloads import stokes
+
+    mesh = tpufem.generate_annulus_mesh(n_side=28, n_circle=32, pad_hole=True)
+    problem = stokes.StokesProblem.build(
+        mesh,
+        stokes.StokesConfig(
+            solver="cg", cg_storage="grid_interpret", precision="f64",
+            cg_precond="twolevel", cg_iters_visc=25, cg_iters_pressure=40,
+            cg_warm_start=False, transport="none",
+        ),
+    )
+    assert isinstance(problem.visc_solver, ViscousGridCG)
+    vs, ps = make_sharded_grid_solvers(dmesh, problem)
+    rng = np.random.default_rng(0)
+    b2 = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    np.testing.assert_allclose(
+        np.asarray(vs(b2)), np.asarray(problem.visc_solver.solve(b2)),
+        atol=1e-12,
+    )
+    b1 = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    np.testing.assert_allclose(
+        np.asarray(ps(b1)), np.asarray(problem.pressure_solver.solve(b1)),
+        atol=1e-9,
+    )
