@@ -237,3 +237,37 @@ def load_vector_nodal(mesh: Mesh, g_nodal: jnp.ndarray) -> jnp.ndarray:
     return jax.ops.segment_sum(
         contrib.reshape(-1), jnp.asarray(mesh.tris).reshape(-1), num_segments=mesh.n_nodes
     )
+
+
+def assemble_csr_conn(conn_rows, conn_cols, elem, shape):
+    """CSR from arbitrary (possibly rectangular) element blocks.
+
+    ``conn_rows (T, kr)`` / ``conn_cols (T, kc)`` give each element
+    block's global row/col ids; ``elem (T, kr, kc)`` the values.  The
+    generalization of :func:`assemble_csr` beyond P1 square operators —
+    used for the P2 stiffness/mass and the P1×P2 divergence-coupling
+    blocks of the sparse Taylor–Hood solver (``workloads/th_sparse.py``).
+    """
+    from tpufem.ops.sparse import CSROperator
+
+    conn_rows = np.asarray(conn_rows, dtype=np.int64)
+    conn_cols = np.asarray(conn_cols, dtype=np.int64)
+    t, kr = conn_rows.shape
+    kc = conn_cols.shape[1]
+    rows = np.repeat(conn_rows, kc, axis=1).reshape(-1)
+    cols = np.tile(conn_cols, (1, kr)).reshape(-1)
+    order = np.lexsort((cols, rows))
+    keys = rows[order] * np.int64(shape[1]) + cols[order]
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    urows = (uniq // shape[1]).astype(np.int32)
+    ucols = (uniq % shape[1]).astype(np.int32)
+    indptr = np.zeros(shape[0] + 1, dtype=np.int32)
+    np.add.at(indptr, urows + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    vals = jnp.asarray(elem).reshape(-1)[order]
+    data = jax.ops.segment_sum(
+        vals, jnp.asarray(inverse.astype(np.int32)), num_segments=len(uniq)
+    )
+    return CSROperator(
+        indptr=indptr, indices=ucols, data=data, shape=tuple(shape)
+    )
