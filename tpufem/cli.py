@@ -89,6 +89,10 @@ def main(argv=None):
                  "monolithic", "taylorhood", "ad", "graph"):
         s = sub.add_parser(name)
         _common(s)
+        if name == "taylorhood":
+            s.add_argument("--sparse", action="store_true",
+                           help="Uzawa-CG sparse path (any mesh size; "
+                                "P2 built in-process if needed)")
         if name in ("stokes", "food"):
             s.add_argument("--b1", type=float, default=-2.0)
             s.add_argument("--b2", type=float, default=0.0)
@@ -234,7 +238,31 @@ def main(argv=None):
     elif args.cmd == "taylorhood":
         from tpufem.workloads import navier_stokes as ns
 
-        if args.steps:  # transient θ-scheme run
+        if getattr(args, "sparse", False):
+            # Uzawa-CG sparse path — any size (generated meshes get their
+            # P2 connectivity in-process via p2_refine)
+            from tpufem.mesh.p2 import p2_refine
+            from tpufem.workloads import th_sparse
+
+            m2 = mesh
+            if m2.tris_p2 is None:
+                m2 = p2_refine(
+                    mesh, snap_center=(0.5, 0.5), snap_radius=0.25
+                )
+            prob = th_sparse.SparseTHProblem.build(
+                m2, th_sparse.SparseTHConfig(steps=args.steps or 200)
+            )
+            u, p, metrics = th_sparse.run(prob)
+            print(json.dumps({"taylorhood_sparse": {
+                "n2": int(prob.n2), "n1": int(prob.n1),
+                "steps": args.steps or 200,
+                "max_u": float(np.abs(np.asarray(u)).max()),
+                "div_weak_max": float(np.asarray(metrics["div_weak_max"])[-1]),
+                "final_div_max": float(np.asarray(metrics["final_div_max"])[-1]),
+            }}))
+            _finish(args, "taylorhood", None, mesh=mesh,
+                    field=np.linalg.norm(np.asarray(u)[: mesh.n_nodes], axis=1))
+        elif args.steps:  # transient θ-scheme run
             prob = ns.TransientTHProblem.build(
                 mesh, ns.TransientTHConfig(steps=args.steps)
             )

@@ -521,8 +521,15 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                 if st.coverage >= 0.9:
                     return st
             return BandedOperator.build(csr_op, dtype=dtype)
-        if storage == "stencil":
-            return StencilOperator.build(csr_op, dtype=dtype)
+        if storage in ("stencil", "grid", "grid_interpret"):
+            # grid storage: the div/grad operators applied OUTSIDE the
+            # Pallas kernels also live on the grid numbering — the
+            # stencil decomposition is their fast XLA form (CSR gather
+            # was a measured per-step drag on the 105k gridified mesh)
+            st = StencilOperator.build(csr_op, dtype=dtype)
+            if storage == "stencil" or st.coverage >= 0.9:
+                return st
+            return csr_op.with_data(csr_op.data.astype(dtype))
         return csr_op.with_data(csr_op.data.astype(dtype))
 
     ke = assembly.element_stiffness(mesh)
