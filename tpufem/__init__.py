@@ -19,6 +19,8 @@ Quick start::
 """
 
 from tpufem.mesh import Mesh, load_mesh, generate_annulus_mesh
+from tpufem.mesh.gridify import Gridified, gridify_mesh
+from tpufem.mesh.p2 import p2_refine
 from tpufem import ops, bc, solve, transport, diag
 from tpufem.config import enable_x64, default_float
 
@@ -28,6 +30,9 @@ __all__ = [
     "Mesh",
     "load_mesh",
     "generate_annulus_mesh",
+    "Gridified",
+    "gridify_mesh",
+    "p2_refine",
     "ops",
     "bc",
     "solve",

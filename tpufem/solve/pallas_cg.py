@@ -57,6 +57,13 @@ def _roll2(X, dy: int, s: int, ns: int, interpret: bool):
     return out
 
 
+_LOOP_OFFSETS_FROM = 12  # ≥: apply offsets in a fori_loop with DYNAMIC
+# roll shifts instead of unrolling — renumbered arbitrary meshes carry
+# 13–24 offsets and the unrolled form made Mosaic compiles take 10–30
+# minutes (measured 780–1640 s cold on mesh_fine/105k gridified);
+# the loop form trades a little ILP for an O(1)-size program
+
+
 def _make_apply(offsets, ns: int, interpret: bool):
     """K·x on the (ns, ns) grid from kernel REFS (diags + remainder).
 
@@ -64,11 +71,33 @@ def _make_apply(offsets, ns: int, interpret: bool):
     reading every ref eagerly at kernel entry pins all operators live
     across the whole CG loop and the Mosaic register allocator spills
     them (measured 124 MB of spill slots in the fused step kernel)."""
+    loop = len(offsets) >= _LOOP_OFFSETS_FROM
 
-    def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int):
-        Y = jnp.zeros_like(X)
-        for g, (dy, s) in enumerate(offsets):
-            Y = Y + d[g] * _roll2(X, dy, s, ns, interpret)
+    def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int,
+              sh=None):
+        """``sh``: (2, n_off) int32 SMEM ref of (row, lane) roll shifts —
+        required when the loop form is active (Pallas kernels cannot
+        capture array constants)."""
+        if loop:
+            assert sh is not None, "loop-form apply needs the shift ref"
+
+            def body(g, Y):
+                if interpret:
+                    Xr = jnp.roll(jnp.roll(X, sh[0, g], -2), sh[1, g], -1)
+                else:
+                    from jax.experimental.pallas import tpu as pltpu
+
+                    Xr = pltpu.roll(
+                        pltpu.roll(X, sh[0, g], X.ndim - 2), sh[1, g],
+                        X.ndim - 1,
+                    )
+                return Y + d[g] * Xr
+
+            Y = jax.lax.fori_loop(0, len(offsets), body, jnp.zeros_like(X))
+        else:
+            Y = jnp.zeros_like(X)
+            for g, (dy, s) in enumerate(offsets):
+                Y = Y + d[g] * _roll2(X, dy, s, ns, interpret)
         if n_rest:
             T = jnp.dot(gr_rowT[:], X, preferred_element_type=jnp.float32)
             xs = jnp.sum(T * gr_laneT[:], axis=1, keepdims=True)  # (Mp, 1)
@@ -78,6 +107,14 @@ def _make_apply(offsets, ns: int, interpret: bool):
         return Y
 
     return apply
+
+
+def _shift_table(offsets, ns: int) -> jnp.ndarray:
+    """(2, n_off) int32 roll shifts consumed by the loop-form apply."""
+    return jnp.asarray(
+        [[(-dy) % ns for dy, _ in offsets], [(-s) % ns for _, s in offsets]],
+        dtype=jnp.int32,
+    )
 
 
 def _cg_core(matvec, precond, project, b, x0, iters: int, tol: float):
@@ -168,10 +205,10 @@ class ViscousGridCG:
             1.0,
         )
 
-        def kernel(d, gr, gl, sr, sl, vals, mask, invd, b, x0, out):
+        def kernel(sh, d, gr, gl, sr, sl, vals, mask, invd, b, x0, out):
             def mv(X):
                 m = mask[:]
-                KX = apply_K(d, gr, gl, sr, sl, vals, m * X, n_rest)
+                KX = apply_K(d, gr, gl, sr, sl, vals, m * X, n_rest, sh=sh)
                 return m * (X + dt_nu * KX) + (1.0 - m) * X
 
             ident = lambda v: v
@@ -184,12 +221,14 @@ class ViscousGridCG:
         from jax.experimental.pallas import tpu as pltpu
 
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        shifts = _shift_table(K.offsets, ns)
 
         def solve2(b_grid, x0_grid):
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(b_grid.shape, b_grid.dtype),
-                in_specs=[vmem() for _ in range(10)],
+                in_specs=[smem()] + [vmem() for _ in range(10)],
                 out_specs=vmem(),
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
@@ -197,6 +236,7 @@ class ViscousGridCG:
                     # the 16 MiB default rejects the CG loop's temporaries
                 ),
             )(
+                shifts,
                 K.diags, K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
                 K.rest_vals, _grid_of(self.interior_mask, ns),
                 _grid_of(inv_diag, ns), b_grid, x0_grid,
@@ -375,12 +415,12 @@ class PressureGridCG:
         diag = self.K.diag()
         inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
 
-        def kernel(d, gr, gl, sr, sl, vals, ml, act, mmask, smask,
+        def kernel(sh, d, gr, gl, sr, sl, vals, ml, act, mmask, smask,
                    invd, pr, prt, plm, plt, acinv, fa, fat, fb, b, x0, out):
             ww = jnp.sum(act[:] * act[:])
 
             def mv(X):
-                return apply_K(d, gr, gl, sr, sl, vals, X, n_rest)
+                return apply_K(d, gr, gl, sr, sl, vals, X, n_rest, sh=sh)
 
             def project(X):
                 a = act[:]
@@ -424,18 +464,21 @@ class PressureGridCG:
         from jax.experimental.pallas import tpu as pltpu
 
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        shifts = _shift_table(K.offsets, ns)
 
         def solve1(b_grid, x0_grid):
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct((ns, ns), b_grid.dtype),
-                in_specs=[vmem() for _ in range(21)],
+                in_specs=[smem()] + [vmem() for _ in range(21)],
                 out_specs=vmem(),
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 2**20,
                 ),
             )(
+                shifts,
                 K.diags, K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
                 K.rest_vals, _grid_of(self.m_lumped, ns),
                 _grid_of(self.active_mask, ns),

@@ -40,6 +40,7 @@ from tpufem.solve.pallas_cg import (
     _grid_of,
     _make_apply,
     _roll2,
+    _shift_table,
 )
 
 
@@ -168,6 +169,8 @@ class GridStokesStep:
         ox, oy = self.outer_value
 
         def kernel(
+            # offset roll-shift tables (SMEM, loop-form apply)
+            shv, shp, shdx, shdy,
             # operators (6 arrays each)
             dv0, dv1, dv2, dv3, dv4, dv5,
             dp0, dp1, dp2, dp3, dp4, dp5,
@@ -200,14 +203,15 @@ class GridStokesStep:
 
             def mv_visc(X):
                 m = mvis[:]
-                KX = apply_v(*OV, m * X, nr_v)
+                KX = apply_v(*OV, m * X, nr_v, sh=shv)
                 return m * (X + dt_nu * KX) + (1.0 - m) * X
 
             def mv_p(X):
-                return apply_p(*OP, X, nr_p)
+                return apply_p(*OP, X, nr_p, sh=shp)
 
             def div(ux, uy):
-                return apply_dx(*ODX, ux, nr_dx) + apply_dy(*ODY, uy, nr_dy)
+                return (apply_dx(*ODX, ux, nr_dx, sh=shdx)
+                        + apply_dy(*ODY, uy, nr_dy, sh=shdy))
 
             def project(X):
                 a = act[:]
@@ -330,16 +334,16 @@ class GridStokesStep:
                 p_out[:] = psolve(-dstar / dt, p_out[:])
                 p_ = p_out[:]
                 u1x, u1y = bcs(
-                    stage[0] - dt * apply_dx(*ODX, p_, nr_dx),
-                    stage[1] - dt * apply_dy(*ODY, p_, nr_dy),
+                    stage[0] - dt * apply_dx(*ODX, p_, nr_dx, sh=shdx),
+                    stage[1] - dt * apply_dy(*ODY, p_, nr_dy, sh=shdy),
                 )
                 stage[0], stage[1] = u1x, u1y
                 # 3. second projection, interior only (StokesColor.py:566-573)
                 du = div(u1x, u1y)
                 p2_out[:] = psolve(-du / dt, p2_out[:])
                 p2_ = p2_out[:]
-                u2x = stage[0] - dt * apply_dx(*ODX, p2_, nr_dx) * int2[:]
-                u2y = stage[1] - dt * apply_dy(*ODY, p2_, nr_dy) * int2[:]
+                u2x = stage[0] - dt * apply_dx(*ODX, p2_, nr_dx, sh=shdx) * int2[:]
+                u2y = stage[1] - dt * apply_dy(*ODY, p2_, nr_dy, sh=shdy) * int2[:]
                 u_out[0], u_out[1] = u2x, u2y
                 fdiv = div(u_out[0], u_out[1])
                 met_out[i, 1] = jnp.max(jnp.abs(fdiv))
@@ -354,8 +358,14 @@ class GridStokesStep:
         from jax.experimental.pallas import tpu as pltpu
 
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
         dtype = Kv.diags.dtype
         n_inputs = 24 + 20 + 4
+        sh_tabs = (
+            _shift_table(Kv.offsets, ns), _shift_table(Kp.offsets, ns),
+            _shift_table(self.Gdx.offsets, ns),
+            _shift_table(self.Gdy.offsets, ns),
+        )
 
         def call(u, ustar0, p0, p20):
             return pl.pallas_call(
@@ -367,7 +377,8 @@ class GridStokesStep:
                     jax.ShapeDtypeStruct((ns, ns), dtype),
                     jax.ShapeDtypeStruct((n_steps, 3), dtype),
                 ),
-                in_specs=[vmem() for _ in range(n_inputs)],
+                in_specs=[smem() for _ in range(4)]
+                + [vmem() for _ in range(n_inputs)],
                 out_specs=(
                     vmem(), vmem(), vmem(), vmem(),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -383,6 +394,7 @@ class GridStokesStep:
                     vmem_limit_bytes=100 * 2**20,
                 ),
             )(
+                *sh_tabs,
                 *_op_args(Kv), *_op_args(Kp),
                 *_op_args(self.Gdx), *_op_args(self.Gdy),
                 _grid_of(visc.interior_mask, ns), _grid_of(invd_v, ns),

@@ -186,6 +186,9 @@ class StokesProblem:
     # double-projection step as ONE VMEM-resident kernel (grid storage)
     visc_lift: jnp.ndarray | None = None  # (N,2) −Δt·ν·K[:, D]·u_D lift
     # of the eliminated Dirichlet columns (config.dirichlet_lift)
+    gridified: Any = None  # mesh.gridify.Gridified when the input mesh was
+    # renumbered for grid storage — .pull(field) maps (ns²,…) nodal
+    # fields back to the input mesh's node order
 
     @property
     def dtype(self):
@@ -291,6 +294,7 @@ class StokesProblem:
         n = mesh.n_nodes
 
         if config.solver == "cg":
+            gridified = None
             if config.cg_storage in ("grid", "grid_interpret"):
                 # explicit grid storage on an arbitrary mesh: renumber onto
                 # an ns×ns raster so the VMEM whole-solve kernels apply
@@ -310,9 +314,13 @@ class StokesProblem:
                         H=config.H, tol=config.tol, all_walls=config.all_walls,
                     )
                     m_lumped = assembly.lumped_mass(mesh)
+                    gridified = g
             # matrix-free large-mesh path: O(nnz) CSR operators + CG.
             # No dense matrices are ever materialized.
-            return cls._build_matfree(mesh, config, boundary, m_lumped, dtype)
+            prob = cls._build_matfree(mesh, config, boundary, m_lumped, dtype)
+            if gridified is not None:
+                prob = dataclasses.replace(prob, gridified=gridified)
+            return prob
 
         K = assembly.assemble_dense(mesh, assembly.element_stiffness(mesh))
 
