@@ -475,6 +475,33 @@ def test_grid_storage_stokes_run_matches_csr():
     )
 
 
+def test_stream_diags_config_plumbs_and_interpret_falls_back():
+    """cg_stream_diags='on' reaches the grid solvers; interpret mode (the
+    CPU test config) forces the non-streamed apply, so the math is the
+    all-VMEM path's — the streamed DMA form itself is validated on real
+    TPU (benchmarks/stream_ab_r3.jsonl: bit-identical u at 79k)."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(solver="cg", cg_precond="twolevel",
+                cg_iters_visc=30, cg_iters_pressure=60, cg_warm_start=True)
+    pg_on = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(
+            cg_storage="grid_interpret", cg_stream_diags="on", **base
+        )
+    )
+    pg_off = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(
+            cg_storage="grid_interpret", cg_stream_diags="off", **base
+        )
+    )
+    assert pg_on.visc_solver.stream_diags
+    assert pg_on.pressure_solver.stream_diags
+    s_on, _ = stokes.run(pg_on, steps=3)
+    s_off, _ = stokes.run(pg_off, steps=3)
+    np.testing.assert_array_equal(
+        np.asarray(s_on["u"]), np.asarray(s_off["u"])
+    )
+
+
 def test_fused_grid_step_matches_unfused():
     """GridStokesStep (the whole double-projection step in ONE kernel)
     reproduces the unfused grid-solver path.  Tolerance reflects CG

@@ -163,6 +163,46 @@ def test_stokes_unknown_transport_rejected(mesh1):
         stokes.StokesProblem.build(mesh1, stokes.StokesConfig(transport="nonsense"))
 
 
+def test_ns_matfree_matches_dense(mesh1):
+    """solver="cg" (matrix-free convection + BiCGStab u* + pinned PCG
+    pressure) tracks the dense parity path on the bundled mesh."""
+    dense = ns.NSProblem.build(mesh1, ns.NSConfig(dt=1e-4))
+    mf = ns.NSProblem.build(
+        mesh1, ns.NSConfig(dt=1e-4, solver="cg", cg_tol=1e-12,
+                           cg_iters_visc=150, cg_iters_pressure=400)
+    )
+    ud, _ = ns.run(dense, steps=25)
+    um, metrics = ns.run(mf, steps=25)
+    np.testing.assert_allclose(np.asarray(um), np.asarray(ud), atol=2e-8)
+    assert np.isfinite(np.asarray(metrics["max_p"])).all()
+
+
+def test_ns_matfree_convection_apply_matches_materialized(mesh1):
+    """The opsplit-scaling matrix-free C(u)·x equals the materialized
+    element_convection operator product."""
+    from tpufem.ops import assembly
+
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((mesh1.n_nodes, 2)))
+    x = jnp.asarray(rng.standard_normal(mesh1.n_nodes))
+    C = assembly.assemble_dense(
+        mesh1, assembly.element_convection(mesh1, u, variant="opsplit")
+    )
+    np.testing.assert_allclose(
+        np.asarray(calculus.convection_apply(mesh1, u, x, variant="opsplit")),
+        np.asarray(C @ x),
+        atol=1e-12,
+    )
+
+
+def test_ns_matfree_long_run_is_stable(mesh21):
+    problem = ns.NSProblem.build(mesh21, ns.NSConfig(solver="cg"))
+    u, metrics = ns.run(problem, steps=300)
+    mu = np.asarray(metrics["max_u"])
+    assert np.isfinite(mu).all()
+    assert mu[-1] < 1.0  # bounded channel flow
+
+
 def test_ns_f32_runs(mesh1):
     problem = ns.NSProblem.build(mesh1, ns.NSConfig(dt=1e-4, precision="f32"))
     u, metrics = ns.run(problem, steps=20)

@@ -531,3 +531,36 @@ def test_sharded_grid_solvers_match_single_device(dmesh):
         np.asarray(ps(b1)), np.asarray(problem.pressure_solver.solve(b1)),
         atol=1e-9,
     )
+
+
+def test_sharded_grid_solvers_tolerance_early_exit(dmesh):
+    """Early-exit (tol > 0) sharded CG: the psum'd residual test keeps the
+    while_loop SPMD-uniform and both forms converge to the same solution
+    within tolerance (iterates differ only by the strip-partitioned dot
+    summation order)."""
+    import tpufem
+    from tpufem.parallel.grid_sharded import make_sharded_grid_solvers
+    from tpufem.workloads import stokes
+
+    mesh = tpufem.generate_annulus_mesh(n_side=28, n_circle=32, pad_hole=True)
+    problem = stokes.StokesProblem.build(
+        mesh,
+        stokes.StokesConfig(
+            solver="cg", cg_storage="grid_interpret", precision="f64",
+            cg_precond="twolevel", cg_iters_visc=60, cg_iters_pressure=80,
+            cg_tol_visc=1e-8, cg_tol_pressure=1e-8,
+            cg_warm_start=False, transport="none",
+        ),
+    )
+    vs, ps = make_sharded_grid_solvers(dmesh, problem)
+    rng = np.random.default_rng(1)
+    b2 = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    np.testing.assert_allclose(
+        np.asarray(vs(b2)), np.asarray(problem.visc_solver.solve(b2)),
+        atol=1e-6,
+    )
+    b1 = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    np.testing.assert_allclose(
+        np.asarray(ps(b1)), np.asarray(problem.pressure_solver.solve(b1)),
+        atol=1e-5,
+    )

@@ -166,19 +166,37 @@ def mass_apply(mesh: Mesh, c: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def convection_apply(mesh: Mesh, u: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """Matrix-free convection product C(u) @ c (StokesColor scaling).
+def convection_apply(
+    mesh: Mesh, u: jnp.ndarray, c: jnp.ndarray, variant: str = "stokescolor"
+) -> jnp.ndarray:
+    """Matrix-free convection product C(u) @ c.
 
-    (C c)_i = Σ_{e∋i} (A_e/3) · ū_e · (Σ_j ∇̃φ_j c_j), ∇̃ = diffs/(2|det|)."""
+    (C c)_i = Σ_{e∋i} row_e · ū_e · (Σ_j ∇̃φ_j c_j) — the two reference
+    scalings of ``assembly.element_convection`` (same math, never
+    materialized):
+
+    * ``"stokescolor"``: ∇̃ = diffs/(2|det|), row = area/3
+      (``code/StokesColor.py:286-312``)
+    * ``"opsplit"``: ∇̃ = diffs/det, row = 0.5·det/3 — the per-step
+      rebuilt advection operator of the NS projection scripts
+      (``scripts/operator_spitting_ns.py:382-430``)
+    """
     dtype = c.dtype
     grads = jnp.asarray(mesh.grads, dtype=dtype)  # diffs/det (signed)
     det = jnp.asarray(mesh.det, dtype=dtype)
     area = jnp.asarray(mesh.area, dtype=dtype)
     valid = jnp.asarray(mesh.valid, dtype=dtype)
-    scale = det / (2.0 * jnp.abs(det))  # grads → diffs/(2|det|)
+    if variant == "stokescolor":
+        scale = det / (2.0 * jnp.abs(det))  # grads → diffs/(2|det|)
+        row = area / 3.0
+    elif variant == "opsplit":
+        scale = jnp.ones_like(det)  # grads as stored
+        row = 0.5 * det / 3.0  # signed area / 3
+    else:
+        raise ValueError(f"unknown convection variant: {variant}")
     u_c = u[mesh.tris].mean(axis=1)  # (T,2)
     gradc = jnp.einsum("ti,tid->td", c[mesh.tris], grads * scale[:, None, None])
-    val = valid * (area / 3.0) * jnp.einsum("td,td->t", u_c, gradc)  # (T,)
+    val = valid * row * jnp.einsum("td,td->t", u_c, gradc)  # (T,)
     contrib = jnp.broadcast_to(val[:, None], (mesh.n_tris, 3)).reshape(-1)
     return jax.ops.segment_sum(
         contrib, jnp.asarray(mesh.tris).reshape(-1), num_segments=mesh.n_nodes

@@ -93,6 +93,9 @@ def make_sharded_grid_solvers(
 
     dt_nu = visc.dt_nu
     iters_v, iters_p = visc.iters, pres.iters
+    # tolerance early-exit inherited from the single-device solvers
+    # (psum'd residual test — SPMD-uniform; iters become the cap)
+    tol_v, tol_p = visc.tol, pres.tol
     omega, use_coarse = pres.omega, pres.use_coarse
     assert pres.pair_axis == 0, (
         "sharded grid CG assumes row-axis periodic pairs"
@@ -132,16 +135,18 @@ def make_sharded_grid_solvers(
     def psum_dot(a, b):
         return jax.lax.psum(jnp.sum(a * b), axis)
 
-    def cg(matvec, precond, project, b, iters):
-        """_cg_core (fixed-count form) with psum dots, x0 = 0."""
+    def cg(matvec, precond, project, b, iters, tol=0.0):
+        """_cg_core with psum dots, x0 = 0.  ``tol > 0`` runs the same
+        early-exit while_loop as the single-device kernels: the exit
+        test is a psum'd residual norm, so every shard sees the same
+        boolean and the loop stays SPMD-uniform."""
         b = project(b)
         x = jnp.zeros_like(b)
         r = b
         z = project(precond(r))
         rz = psum_dot(r, z)
 
-        def body(state, _):
-            x, r, p, rz = state
+        def advance(x, r, p, rz):
             ap = project(matvec(p))
             denom = psum_dot(p, ap)
             alpha = jnp.where(denom != 0, rz / denom, 0.0)
@@ -150,7 +155,27 @@ def make_sharded_grid_solvers(
             z = project(precond(r))
             rz_new = psum_dot(r, z)
             beta = jnp.where(rz != 0, rz_new / rz, 0.0)
-            return (x, r, z + beta * p, rz_new), None
+            return x, r, z + beta * p, rz_new
+
+        if tol > 0:
+            atol2 = (tol * jnp.maximum(jnp.sqrt(psum_dot(b, b)), 1e-30)) ** 2
+
+            def cond(st):
+                _, r, _, _, k = st
+                return jnp.logical_and(k < iters, psum_dot(r, r) > atol2)
+
+            def wbody(st):
+                x, r, p, rz, k = st
+                x, r, p, rz = advance(x, r, p, rz)
+                return (x, r, p, rz, k + 1)
+
+            x, *_ = jax.lax.while_loop(
+                cond, wbody, (x, r, z, rz, jnp.int32(0))
+            )
+            return project(x)
+
+        def body(state, _):
+            return advance(*state), None
 
         (x, *_), _ = jax.lax.scan(body, (x, r, z, rz), None, length=iters)
         return project(x)
@@ -183,7 +208,7 @@ def make_sharded_grid_solvers(
 
         return jnp.stack(
             [
-                cg(mv, lambda r: invd * r, ident, b[c], iters_v)
+                cg(mv, lambda r: invd * r, ident, b[c], iters_v, tol_v)
                 for c in range(b.shape[0])
             ]
         )
@@ -232,7 +257,7 @@ def make_sharded_grid_solvers(
         rhs = ml * b
         rhs = rhs + _roll_rows(rhs * sm, -1, s_, axis) * mm
         rhs = rhs * act
-        p = cg(apply_k, precond, project, rhs, iters_p)
+        p = cg(apply_k, precond, project, rhs, iters_p, tol_p)
         # copy the master row back onto the slave row (row roll +1)
         return p * (1.0 - sm) + _roll_rows(p * mm, 1, s_, axis) * sm
 

@@ -64,21 +64,57 @@ _LOOP_OFFSETS_FROM = 12  # ≥: apply offsets in a fori_loop with DYNAMIC
 # the loop form trades a little ILP for an O(1)-size program
 
 
-def _make_apply(offsets, ns: int, interpret: bool):
+def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False):
     """K·x on the (ns, ns) grid from kernel REFS (diags + remainder).
 
     Operands are read PER USE (``d[g]``, ``gr_rowT[:]`` at the dot) —
     reading every ref eagerly at kernel entry pins all operators live
     across the whole CG loop and the Mosaic register allocator spills
-    them (measured 124 MB of spill slots in the fused step kernel)."""
-    loop = len(offsets) >= _LOOP_OFFSETS_FROM
+    them (measured 124 MB of spill slots in the fused step kernel).
+
+    ``stream=True``: the diag planes ``d`` live in HBM (``pltpu.HBM`` —
+    ``pl.ANY`` lets Mosaic re-home them to VMEM, whose tiled layout then
+    rejects unaligned plane slices) and
+    are double-buffered into a ``(2, ns, ns)`` VMEM scratch plane by
+    plane — only 2 planes are VMEM-resident at once instead of n_off,
+    which is what carries the whole-solve kernels past the ~325k-node
+    all-VMEM ceiling (BASELINE.md round-3 table).  The CG vectors stay
+    VMEM-resident; per matvec the streamed bytes are n_off·N·4, which
+    at HBM bandwidth is far below one XLA dispatch of the unfused path."""
+    loop = stream or len(offsets) >= _LOOP_OFFSETS_FROM
 
     def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int,
-              sh=None):
+              sh=None, scratch=None, sem=None):
         """``sh``: (2, n_off) int32 SMEM ref of (row, lane) roll shifts —
         required when the loop form is active (Pallas kernels cannot
-        capture array constants)."""
-        if loop:
+        capture array constants).  ``scratch``/``sem``: (2, ns, ns) VMEM
+        buffer + DMA semaphore pair, required when ``stream``."""
+        if stream:
+            # Static-unrolled double-buffered plane streaming: DMA plane
+            # g+1 HBM→VMEM while multiplying plane g.  ``d`` is a TUPLE
+            # of n_off separate (ns, ns) HBM refs and ``scratch`` a pair
+            # of (ns, ns) VMEM refs — whole-ref copies only: memref_slice
+            # on a stacked (n_off, ns, ns) operand demands 128-aligned
+            # lane slices (and i32 indices), which unpadded ns violates.
+            assert scratch is not None and sem is not None
+            from jax.experimental.pallas import tpu as pltpu
+
+            n_off = len(offsets)
+
+            def get_dma(slot: int, g: int):
+                return pltpu.make_async_copy(
+                    d[g], scratch[slot], sem.at[jnp.int32(slot)]
+                )
+
+            get_dma(0, 0).start()
+            Y = jnp.zeros_like(X)
+            for g, (dy, s) in enumerate(offsets):
+                slot = g % 2
+                if g + 1 < n_off:
+                    get_dma((g + 1) % 2, g + 1).start()
+                get_dma(slot, g).wait()
+                Y = Y + scratch[slot][:] * _roll2(X, dy, s, ns, interpret)
+        elif loop:
             assert sh is not None, "loop-form apply needs the shift ref"
 
             def body(g, Y):
@@ -185,6 +221,7 @@ class ViscousGridCG:
     iters: int
     tol: float = 0.0
     interpret: bool = False
+    stream_diags: bool = False  # diag planes HBM-resident, DMA-streamed
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         m = self.interior_mask
@@ -196,7 +233,8 @@ class ViscousGridCG:
         ns = K.ns
         iters, tol, dt_nu = self.iters, self.tol, self.dt_nu
         interpret = self.interpret
-        apply_K = _make_apply(K.offsets, ns, interpret)
+        stream = self.stream_diags and not interpret
+        apply_K = _make_apply(K.offsets, ns, interpret, stream=stream)
         n_rest = K.n_rest
 
         inv_diag = jnp.where(
@@ -205,10 +243,29 @@ class ViscousGridCG:
             1.0,
         )
 
-        def kernel(sh, d, gr, gl, sr, sl, vals, mask, invd, b, x0, out):
+        n_off = len(K.offsets)
+
+        def kernel(*refs):
+            # streamed layout: [sh, d_0..d_{n_off-1}, gr, gl, sr, sl,
+            # vals, mask, invd, b, x0 | out | s0, s1, sem]; non-streamed
+            # replaces the plane tuple with one stacked diags ref
+            sh = refs[0]
+            if stream:
+                d = refs[1:1 + n_off]
+                rest = refs[1 + n_off:]
+            else:
+                d = refs[1]
+                rest = refs[2:]
+            gr, gl, sr, sl, vals, mask, invd, b, x0, out = rest[:10]
+            scr = rest[10:]
+
             def mv(X):
                 m = mask[:]
-                KX = apply_K(d, gr, gl, sr, sl, vals, m * X, n_rest, sh=sh)
+                KX = apply_K(
+                    d, gr, gl, sr, sl, vals, m * X, n_rest, sh=sh,
+                    scratch=scr[:2] if scr else None,
+                    sem=scr[2] if scr else None,
+                )
                 return m * (X + dt_nu * KX) + (1.0 - m) * X
 
             ident = lambda v: v
@@ -223,21 +280,36 @@ class ViscousGridCG:
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
         shifts = _shift_table(K.offsets, ns)
+        if stream:
+            diag_specs = [
+                pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_off)
+            ]
+            diag_args = [K.diags[g] for g in range(n_off)]
+            scratch_shapes = [
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            diag_specs = [vmem()]
+            diag_args = [K.diags]
+            scratch_shapes = []
 
         def solve2(b_grid, x0_grid):
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(b_grid.shape, b_grid.dtype),
-                in_specs=[smem()] + [vmem() for _ in range(10)],
+                in_specs=[smem()] + diag_specs + [vmem() for _ in range(9)],
                 out_specs=vmem(),
+                scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 2**20,  # v5e has 128 MiB VMEM;
                     # the 16 MiB default rejects the CG loop's temporaries
                 ),
             )(
-                shifts,
-                K.diags, K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
+                shifts, *diag_args,
+                K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
                 K.rest_vals, _grid_of(self.interior_mask, ns),
                 _grid_of(inv_diag, ns), b_grid, x0_grid,
             )
@@ -299,6 +371,7 @@ class PressureGridCG:
     interpret: bool = False
     pair_axis: int = 0  # grid axis along which periodic pairs sit
     use_coarse: bool = True  # False → plain damped-Jacobi preconditioning
+    stream_diags: bool = False  # diag planes HBM-resident, DMA-streamed
 
     @classmethod
     def build(
@@ -315,6 +388,7 @@ class PressureGridCG:
         use_coarse: bool = True,
         coarse_dtype=None,
         interpret: bool = False,
+        stream_diags: bool = False,
     ) -> "PressureGridCG":
         from tpufem.solve.cg import estimate_lmax
         from tpufem.solve.twolevel import coarse_inverse, galerkin_coarse
@@ -395,6 +469,7 @@ class PressureGridCG:
             interpret=interpret,
             pair_axis=pair_axis,
             use_coarse=use_coarse,
+            stream_diags=stream_diags,
         )
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -408,19 +483,35 @@ class PressureGridCG:
         interpret = self.interpret
         pair_axis = self.pair_axis
         use_coarse = self.use_coarse
-        apply_K = _make_apply(K.offsets, ns, interpret)
+        stream = self.stream_diags and not interpret
+        apply_K = _make_apply(K.offsets, ns, interpret, stream=stream)
         n_rest = K.n_rest
         ncr, ncl = self.Pr.shape[0], self.Pl.shape[0]
 
         diag = self.K.diag()
         inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
 
-        def kernel(sh, d, gr, gl, sr, sl, vals, ml, act, mmask, smask,
-                   invd, pr, prt, plm, plt, acinv, fa, fat, fb, b, x0, out):
+        n_off = len(K.offsets)
+
+        def kernel(*refs):
+            sh = refs[0]
+            if stream:
+                d = refs[1:1 + n_off]
+                rest = refs[1 + n_off:]
+            else:
+                d = refs[1]
+                rest = refs[2:]
+            (gr, gl, sr, sl, vals, ml, act, mmask, smask, invd, pr, prt,
+             plm, plt, acinv, fa, fat, fb, b, x0, out) = rest[:21]
+            scr = rest[21:]
             ww = jnp.sum(act[:] * act[:])
 
             def mv(X):
-                return apply_K(d, gr, gl, sr, sl, vals, X, n_rest, sh=sh)
+                return apply_K(
+                    d, gr, gl, sr, sl, vals, X, n_rest, sh=sh,
+                    scratch=scr[:2] if scr else None,
+                    sem=scr[2] if scr else None,
+                )
 
             def project(X):
                 a = act[:]
@@ -466,20 +557,35 @@ class PressureGridCG:
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
         shifts = _shift_table(K.offsets, ns)
+        if stream:
+            diag_specs = [
+                pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_off)
+            ]
+            diag_args = [K.diags[g] for g in range(n_off)]
+            scratch_shapes = [
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            diag_specs = [vmem()]
+            diag_args = [K.diags]
+            scratch_shapes = []
 
         def solve1(b_grid, x0_grid):
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct((ns, ns), b_grid.dtype),
-                in_specs=[smem()] + [vmem() for _ in range(21)],
+                in_specs=[smem()] + diag_specs + [vmem() for _ in range(20)],
                 out_specs=vmem(),
+                scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 2**20,
                 ),
             )(
-                shifts,
-                K.diags, K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
+                shifts, *diag_args,
+                K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
                 K.rest_vals, _grid_of(self.m_lumped, ns),
                 _grid_of(self.active_mask, ns),
                 _grid_of(self.master_mask, ns),

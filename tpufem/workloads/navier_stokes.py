@@ -473,20 +473,40 @@ class NSConfig:
     # "mass_lumped" (default) is the working scheme; "raw" reproduces the
     # committed script exactly.
     pressure_scaling: str = "mass_lumped"
+    # solver="dense": the parity path (per-step dense LU — the reference's
+    # jnp.linalg.solve, capped at ~4k nodes).  solver="cg": the large-mesh
+    # path — the advection operator is never materialized (matrix-free
+    # C(u)·x via calculus.convection_apply each application), the
+    # nonsymmetric velocity system runs Jacobi-BiCGStab, and the pinned
+    # pressure Poisson runs (two-level-)PCG with warm starts.  O(nnz)
+    # memory: the NS projection scales to the same mesh sizes as the
+    # Stokes CG path.
+    solver: str = "dense"
+    cg_iters_visc: int = 80  # BiCGStab cap for (I + ΔtC + νΔtK)
+    cg_iters_pressure: int = 160
+    cg_tol: float = 1e-8  # relative residual early exit (0 → fixed count)
+    cg_precond: str = "twolevel"  # pressure PCG: "jacobi" | "twolevel"
+    cg_coarse_nodes: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)
 class NSProblem:
     mesh: Mesh
-    k_signed: jnp.ndarray  # signed-det stiffness (buildFemSystem form)
-    pressure_solver: Any  # K pinned at node 0, constant → factored once
     wall_mask: np.ndarray  # all outer walls + inner body (u = 0)
     config: NSConfig
+    # dense (parity) path
+    k_signed: jnp.ndarray | None = None  # signed-det stiffness
+    pressure_solver: Any = None  # K pinned at node 0, constant → factored once
+    # matrix-free (solver="cg") path
+    K_csr: Any = None  # signed-det stiffness as static-pattern CSR
+    inv_diag_visc: jnp.ndarray | None = None  # Jacobi for the u* BiCGStab
 
     @classmethod
     def build(cls, mesh: Mesh, config: NSConfig = NSConfig()) -> "NSProblem":
         from tpufem.utils.host import host_context
 
+        if config.solver == "cg":
+            return cls._build_matfree(mesh, config)
         with host_context():
             k = assembly.assemble_dense(mesh, assembly.element_stiffness(mesh, signed=True))
             a_p = np.asarray(k).copy()
@@ -518,6 +538,129 @@ class NSProblem:
                 wall_mask=wall_mask,
                 config=config,
             )
+
+    @classmethod
+    def _build_matfree(cls, mesh: Mesh, config: NSConfig) -> "NSProblem":
+        """solver="cg": O(nnz) operators + iterative solves.
+
+        Deviations from the dense parity path, both CG-required and
+        documented: the pressure Poisson uses the UNSIGNED-det stiffness
+        (identical on CCW-oriented meshes — the signed form the script
+        assembles is only indefinite when CW triangles exist, which the
+        reference itself flags as "the cause of the instability",
+        scripts/stokes_report.py:881-895), pinned at node 0 by symmetric
+        masking instead of row surgery (same solution: p[0] = 0)."""
+        from tpufem.ops.sparse import CSROperator  # noqa: F401
+        from tpufem.solve.matfree import PressureCG
+
+        dtype = jnp.float32 if config.precision == "f32" else jnp.float64
+        K_signed = assembly.assemble_csr(
+            mesh, assembly.element_stiffness(mesh, signed=True)
+        )
+        K_p = assembly.assemble_csr(
+            mesh, assembly.element_stiffness(mesh, signed=False)
+        )
+        if config.pressure_scaling == "mass_lumped":
+            m_l = np.asarray(assembly.lumped_mass(mesh))
+        else:  # "raw": K p = b directly (operator_spitting_ns.py:528-533)
+            m_l = np.ones(mesh.n_nodes)
+        coords = mesh.coords
+        on_outer = (
+            (np.abs(coords[:, 0]) < config.tol)
+            | (np.abs(coords[:, 0] - config.L) < config.tol)
+            | (np.abs(coords[:, 1]) < config.tol)
+            | (np.abs(coords[:, 1] - config.H) < config.tol)
+        )
+        wall_mask = on_outer | (mesh.markers == config.inner_marker)
+
+        empty = np.zeros(0, dtype=np.int64)
+        active = jnp.ones(mesh.n_nodes, dtype=dtype)
+        lmax, tl = 0.0, None
+        diag_p = K_p.diag()
+        if config.cg_precond == "twolevel":
+            from tpufem.solve.cg import estimate_lmax
+            from tpufem.solve.twolevel import build_twolevel
+
+            inv_diag_p = jnp.where(
+                diag_p > 0, 1.0 / jnp.where(diag_p > 0, diag_p, 1.0), 1.0
+            )
+            lmax = estimate_lmax(K_p.matvec, inv_diag_p, mesh.n_nodes)
+            tl = build_twolevel(
+                K_p, np.asarray(coords), K_p.matvec, inv_diag_p,
+                target_coarse=config.cg_coarse_nodes, dtype=dtype, lmax=lmax,
+            )
+        pressure_solver = PressureCG(
+            K_merged=K_p,
+            m_lumped=jnp.asarray(m_l, dtype=dtype),
+            masters=empty,
+            slaves=empty,
+            active_mask=active,
+            iters=config.cg_iters_pressure,
+            precond=config.cg_precond,
+            lmax=lmax,
+            twolevel=tl,
+            tol=config.cg_tol,
+            pin=0,
+        )
+        inv_diag_visc = 1.0 / (
+            1.0 + config.nu * config.dt * jnp.abs(K_signed.diag())
+        )
+        return cls(
+            mesh=mesh,
+            wall_mask=wall_mask,
+            config=config,
+            K_csr=K_signed,
+            pressure_solver=pressure_solver,
+            inv_diag_visc=jnp.asarray(inv_diag_visc, dtype=dtype),
+        )
+
+
+def _ns_step_matfree(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
+    """One operator-split NS step, matrix-free (solver="cg").
+
+    Same math as :func:`ns_step` (operator_spitting_ns.py:557-604) with
+    the three dense solves replaced by iterative ones:
+
+    * u*: (I + Δt·C(u) + ν·Δt·K) is NONSYMMETRIC (convection) — solved
+      per component with Jacobi-BiCGStab, warm-started from uⁿ; C(u)·x
+      is applied matrix-free every iteration (opsplit scaling), so the
+      per-step operator rebuild the reference pays
+      (operator_spitting_ns.py:559) costs nothing here.
+    * pressure: pinned (two-level-)PCG warm-started from pⁿ⁻¹.
+    """
+    from tpufem.solve.cg import bicgstab_fixed
+
+    cfg = problem.config
+    mesh = problem.mesh
+    dt = cfg.dt
+    dtype = u.dtype
+
+    def a_mv(x):
+        cx = calculus.convection_apply(mesh, u, x, variant="opsplit")
+        return x + dt * cx + cfg.nu * dt * problem.K_csr.matvec(x)
+
+    precond = lambda r: problem.inv_diag_visc.astype(dtype) * r
+    f = jnp.asarray(cfg.body_force, dtype=dtype)
+    cols = []
+    for c in range(2):
+        xc, _ = bicgstab_fixed(
+            a_mv, u[:, c] + dt * f[c], x0=u[:, c],
+            iters=cfg.cg_iters_visc, precond=precond,
+        )
+        cols.append(xc)
+    u_star = jnp.stack(cols, axis=1)
+
+    div = calculus.divergence(mesh, u_star).astype(dtype)
+    b_p = -(cfg.rho / dt) * div
+    p = problem.pressure_solver.solve(b_p, x0=p0)
+    u_new = u_star - dt * calculus.gradient(mesh, p).astype(dtype)
+    u_new = jnp.where(jnp.asarray(problem.wall_mask)[:, None], 0.0, u_new)
+    metrics = {
+        "max_u": jnp.max(jnp.abs(u_new)),
+        "max_p": jnp.max(jnp.abs(p)),
+        "div_star_max": jnp.max(jnp.abs(div)),
+    }
+    return u_new, p, metrics
 
 
 def ns_step(problem: NSProblem, u: jnp.ndarray):
@@ -563,6 +706,24 @@ def run(problem: NSProblem, steps: int | None = None):
     hit = _RUN_CACHE.get(key)
     if hit is not None and hit[0] is problem:
         scan_all = hit[1]
+    elif cfg.solver == "cg":
+        # carry (u, p): the previous pressure warm-starts the PCG — near
+        # steady state the early-exit solve finishes in a few iterations
+        p0 = jnp.zeros(problem.mesh.n_nodes, dtype=dtype)
+
+        @jax.jit
+        def scan_all(u0):
+            def body(carry, _):
+                u, p = carry
+                u_new, p_new, metrics = _ns_step_matfree(problem, u, p)
+                return (u_new, p_new), metrics
+
+            (u, _), metrics = jax.lax.scan(
+                body, (u0, p0), None, length=n_steps
+            )
+            return u, metrics
+
+        _RUN_CACHE[key] = (problem, scan_all)
     else:
 
         @jax.jit

@@ -99,6 +99,13 @@ class StokesConfig:
     # spills).  K ≥ 1 opts into the fused whole-step kernel advancing K
     # physics steps per launch (transport="none" only; run(steps) must
     # be a multiple of K) — revisit if Mosaic's allocator improves.
+    cg_stream_diags: str = "auto"  # cg_storage="grid": where the operator
+    # diag planes live during the whole-solve kernels.  "off" = all-VMEM
+    # (fastest; measured good to ~325k nodes), "on" = HBM-resident planes
+    # DMA-streamed through a (2, ns, ns) double buffer (extends the VMEM
+    # ceiling past 325k at the cost of n_off·N·4 streamed bytes per
+    # matvec), "auto" = stream from 360k nodes up (the measured all-VMEM
+    # ceiling sits between 325k and 410k — BASELINE.md round-3 table)
     cg_coarse_nodes: int = 2048  # twolevel: target coarse-space size
     cg_coarse_dtype: str = "same"  # | "bf16": store the dense coarse
     # inverse in bfloat16 — halves the HBM bytes of the byte-dominant
@@ -572,6 +579,10 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
         from tpufem.solve.pallas_cg import PressureGridCG, ViscousGridCG
 
         interpret = storage == "grid_interpret" or jax.default_backend() == "cpu"
+        stream = (
+            config.cg_stream_diags == "on"
+            or (config.cg_stream_diags == "auto" and mesh.n_nodes >= 360_000)
+        )
         try:
             Gv = GridOperator.build(K_csr, ns_grid, dtype=dtype)
             build_grid = Gv.coverage >= 0.9 or storage in ("grid", "grid_interpret")
@@ -583,6 +594,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     iters=config.cg_iters_visc,
                     tol=config.cg_tol_visc,
                     interpret=interpret,
+                    stream_diags=stream,
                 )
                 owner = pressure_owner_map(
                     mesh.n_nodes, boundary.masters, boundary.slaves
@@ -609,6 +621,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                         jnp.bfloat16 if config.cg_coarse_dtype == "bf16" else None
                     ),
                     interpret=interpret,
+                    stream_diags=stream,
                 )
                 dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
                 return visc, pressure, materialize(dx_csr), materialize(dy_csr), {}
