@@ -1,5 +1,6 @@
 """Matrix-free CG path: correctness vs dense, large-mesh scaling smoke."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -555,3 +556,26 @@ def test_fused_multi_step_is_bit_exact():
     d5 = np.asarray(m5["final_div_max"])
     assert d1.shape == d5.shape == (10,)
     np.testing.assert_array_equal(d1, d5)
+
+
+def test_stencil_refill_matches_dense_convection():
+    """StencilRefill: per-step C(u) scattered into stencil planes equals
+    the dense-assembled convection operator product."""
+    from tpufem.ops import assembly
+    from tpufem.ops.stencil import StencilRefill
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    elem = assembly.element_convection(mesh, u, variant="opsplit")
+    C = assembly.assemble_dense(mesh, elem)
+    rf = StencilRefill.build(mesh, dtype=jnp.float64)
+    assert rf.template.coverage >= 0.99
+    Cop = rf.refill(elem)
+    x = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    np.testing.assert_allclose(
+        np.asarray(Cop.matvec(x)), np.asarray(C @ x), atol=1e-12
+    )
+    # refilled under jit too (the per-step path runs inside lax.scan)
+    y = jax.jit(lambda e, v: rf.refill(e).matvec(v))(elem, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(C @ x), atol=1e-12)

@@ -128,3 +128,96 @@ class StencilOperator:
                 jnp.where(same, self.rest_data, 0.0), indices_are_sorted=True
             )
         return d
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilRefill:
+    """Per-step VALUE refill of a stencil operator with a static PATTERN.
+
+    For state-dependent operators — the convection matrix C(u) rebuilt
+    every step (``scripts/operator_spitting_ns.py:559``) — the sparsity
+    is the mesh adjacency (static) while the values change with u.  A
+    matrix-free apply pays one gather + one segment-sum PER ITERATION of
+    the Krylov solve; this class instead scatters the (T, 3, 3) element
+    values into stencil-diagonal planes ONCE per step (a single
+    segment-sum over the 9T entries), after which every iteration runs
+    the shift-FMA ``StencilOperator.matvec`` — no gathers.
+
+    Host-precomputed: element entry → flat destination ``k·N + row`` for
+    entries on the template's offsets, ``s·N + rest slot`` for the
+    remainder (same ordering as ``StencilOperator.build``, so the
+    refilled operator is drop-in)."""
+
+    template: StencilOperator  # pattern donor; its values are ignored
+    dest: jnp.ndarray  # (9T,) int32: ordered element entry → flat slot
+    order: np.ndarray  # (9T,) host: elem.reshape(-1) gather order
+    n_flat: int  # s·N + len(rest)
+
+    @classmethod
+    def build(cls, mesh, dtype=jnp.float32, max_offsets: int = 16,
+              offsets=None) -> "StencilRefill":
+        from tpufem.ops import assembly
+
+        # unit-valued CSR on the adjacency pattern fixes offsets/remainder
+        pattern = assembly._csr_pattern(mesh)
+        n = mesh.n_nodes
+        template = StencilOperator.build(
+            _PatternCSR(pattern, n), dtype=dtype, max_offsets=max_offsets,
+            offsets=offsets,
+        )
+        rows = np.repeat(
+            np.arange(n, dtype=np.int64),
+            np.diff(pattern["indptr"]).astype(np.int64),
+        )
+        cols = pattern["indices"].astype(np.int64)
+        off = cols - rows
+        s = len(template.offsets)
+        slot_dest = np.empty(pattern["nnz"], dtype=np.int64)
+        in_stencil = np.zeros(pattern["nnz"], dtype=bool)
+        for k, o in enumerate(template.offsets):
+            sel = off == o
+            slot_dest[sel] = k * n + rows[sel]
+            in_stencil |= sel
+        rest = np.nonzero(~in_stencil)[0]
+        # remainder ordering must match StencilOperator.build: stable
+        # sort by row (CSR slots are already row-major ⇒ identity, kept
+        # explicit for safety)
+        o_r = np.argsort(rows[rest], kind="stable")
+        slot_dest[rest[o_r]] = s * n + np.arange(len(rest))
+        dest = slot_dest[pattern["inverse"]]
+        return cls(
+            template=template,
+            dest=jnp.asarray(dest, dtype=jnp.int32),
+            order=pattern["order"],
+            n_flat=s * n + len(rest),
+        )
+
+    def refill(self, elem: jnp.ndarray) -> StencilOperator:
+        """(T, 3, 3) element values → a ready StencilOperator (jittable)."""
+        flat = jax.ops.segment_sum(
+            elem.reshape(-1)[self.order], self.dest,
+            num_segments=self.n_flat,
+        )
+        s, n = self.template.diags.shape
+        return dataclasses.replace(
+            self.template,
+            diags=flat[: s * n].reshape(s, n),
+            rest_data=flat[s * n:],
+        )
+
+
+class _PatternCSR:
+    """Minimal CSR view of an adjacency pattern (unit values)."""
+
+    def __init__(self, pattern, n):
+        self.indptr = pattern["indptr"]
+        self.indices = pattern["indices"]
+        self.data = np.ones(pattern["nnz"])
+        self.shape = (n, n)
+
+    @property
+    def row_ids(self):
+        return np.repeat(
+            np.arange(self.shape[0], dtype=np.int64),
+            np.diff(self.indptr).astype(np.int64),
+        )

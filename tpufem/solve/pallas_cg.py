@@ -304,7 +304,7 @@ class ViscousGridCG:
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 2**20,  # v5e has 128 MiB VMEM;
+                    vmem_limit_bytes=116 * 2**20,  # v5e has 128 MiB VMEM;
                     # the 16 MiB default rejects the CG loop's temporaries
                 ),
             )(
@@ -581,7 +581,7 @@ class PressureGridCG:
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 2**20,
+                    vmem_limit_bytes=116 * 2**20,
                 ),
             )(
                 shifts, *diag_args,

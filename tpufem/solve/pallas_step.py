@@ -391,7 +391,7 @@ class GridStokesStep:
                 ],
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 2**20,
+                    vmem_limit_bytes=116 * 2**20,
                 ),
             )(
                 *sh_tabs,

@@ -498,8 +498,10 @@ class NSProblem:
     k_signed: jnp.ndarray | None = None  # signed-det stiffness
     pressure_solver: Any = None  # K pinned at node 0, constant → factored once
     # matrix-free (solver="cg") path
-    K_csr: Any = None  # signed-det stiffness as static-pattern CSR
+    K_csr: Any = None  # signed-det stiffness (stencil where supported)
     inv_diag_visc: jnp.ndarray | None = None  # Jacobi for the u* BiCGStab
+    conv_refill: Any = None  # per-step C(u) stencil refill (None → the
+    # gather/segment-sum convection_apply every BiCGStab iteration)
 
     @classmethod
     def build(cls, mesh: Mesh, config: NSConfig = NSConfig()) -> "NSProblem":
@@ -551,6 +553,7 @@ class NSProblem:
         scripts/stokes_report.py:881-895), pinned at node 0 by symmetric
         masking instead of row surgery (same solution: p[0] = 0)."""
         from tpufem.ops.sparse import CSROperator  # noqa: F401
+        from tpufem.ops.stencil import StencilOperator
         from tpufem.solve.matfree import PressureCG
 
         dtype = jnp.float32 if config.precision == "f32" else jnp.float64
@@ -560,6 +563,24 @@ class NSProblem:
         K_p = assembly.assemble_csr(
             mesh, assembly.element_stiffness(mesh, signed=False)
         )
+
+        def _mat(csr):
+            """Stencil-offset SpMV where the numbering supports it (the
+            fast accelerator form — CSR gather is the measured per-step
+            drag at scale); CSR otherwise.  Same policy as the Stokes
+            matfree build (stokes.py materialize)."""
+            st = StencilOperator.build(csr, dtype=dtype)
+            if st.coverage >= 0.9:
+                return st
+            return csr.with_data(csr.data.astype(dtype))
+
+        # per-step stencil refill of C(u): one segment-sum per step
+        # instead of one per BiCGStab iteration (ops/stencil.py)
+        from tpufem.ops.stencil import StencilRefill
+
+        conv_refill = StencilRefill.build(mesh, dtype=dtype)
+        if conv_refill.template.coverage < 0.9:
+            conv_refill = None
         if config.pressure_scaling == "mass_lumped":
             m_l = np.asarray(assembly.lumped_mass(mesh))
         else:  # "raw": K p = b directly (operator_spitting_ns.py:528-533)
@@ -572,11 +593,21 @@ class NSProblem:
             | (np.abs(coords[:, 1] - config.H) < config.tol)
         )
         wall_mask = on_outer | (mesh.markers == config.inner_marker)
+        # inert nodes (pad_hole dummies: no valid incident triangle) pinned
+        # to u = 0 — their rows are ~identity, so without this the body
+        # force integrates them up linearly step over step
+        deg = np.zeros(mesh.n_nodes)
+        np.add.at(
+            deg, np.asarray(mesh.tris).reshape(-1),
+            np.repeat(np.asarray(mesh.valid, dtype=np.float64), 3),
+        )
+        wall_mask = wall_mask | (deg == 0)
 
         empty = np.zeros(0, dtype=np.int64)
         active = jnp.ones(mesh.n_nodes, dtype=dtype)
         lmax, tl = 0.0, None
         diag_p = K_p.diag()
+        K_p_op = _mat(K_p)
         if config.cg_precond == "twolevel":
             from tpufem.solve.cg import estimate_lmax
             from tpufem.solve.twolevel import build_twolevel
@@ -584,13 +615,13 @@ class NSProblem:
             inv_diag_p = jnp.where(
                 diag_p > 0, 1.0 / jnp.where(diag_p > 0, diag_p, 1.0), 1.0
             )
-            lmax = estimate_lmax(K_p.matvec, inv_diag_p, mesh.n_nodes)
+            lmax = estimate_lmax(K_p_op.matvec, inv_diag_p, mesh.n_nodes)
             tl = build_twolevel(
-                K_p, np.asarray(coords), K_p.matvec, inv_diag_p,
+                K_p, np.asarray(coords), K_p_op.matvec, inv_diag_p,
                 target_coarse=config.cg_coarse_nodes, dtype=dtype, lmax=lmax,
             )
         pressure_solver = PressureCG(
-            K_merged=K_p,
+            K_merged=K_p_op,
             m_lumped=jnp.asarray(m_l, dtype=dtype),
             masters=empty,
             slaves=empty,
@@ -609,7 +640,8 @@ class NSProblem:
             mesh=mesh,
             wall_mask=wall_mask,
             config=config,
-            K_csr=K_signed,
+            K_csr=_mat(K_signed),
+            conv_refill=conv_refill,
             pressure_solver=pressure_solver,
             inv_diag_visc=jnp.asarray(inv_diag_visc, dtype=dtype),
         )
@@ -635,9 +667,18 @@ def _ns_step_matfree(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
     dt = cfg.dt
     dtype = u.dtype
 
+    if problem.conv_refill is not None:
+        C_op = problem.conv_refill.refill(
+            assembly.element_convection(mesh, u, variant="opsplit")
+        )
+        conv = C_op.matvec
+    else:
+        conv = lambda x: calculus.convection_apply(
+            mesh, u, x, variant="opsplit"
+        )
+
     def a_mv(x):
-        cx = calculus.convection_apply(mesh, u, x, variant="opsplit")
-        return x + dt * cx + cfg.nu * dt * problem.K_csr.matvec(x)
+        return x + dt * conv(x) + cfg.nu * dt * problem.K_csr.matvec(x)
 
     precond = lambda r: problem.inv_diag_visc.astype(dtype) * r
     f = jnp.asarray(cfg.body_force, dtype=dtype)
