@@ -493,6 +493,15 @@ class PressureGridCG:
 
         n_off = len(K.offsets)
 
+        # lean form (streamed regime): the rhs prep (M_L scaling, slave→
+        # master merge, masking) and the final master→slave copy touch
+        # their planes ONCE per solve — under streaming they move to XLA
+        # outside the kernel, dropping the ml/mmask/smask VMEM planes
+        # (12 MB at ns=1024; the difference between fitting and OOM at 1M
+        # nodes — the measured scoped-VMEM need was 126 MB vs the ~116 MB
+        # budget with them resident)
+        lean = stream
+
         def kernel(*refs):
             sh = refs[0]
             if stream:
@@ -501,9 +510,15 @@ class PressureGridCG:
             else:
                 d = refs[1]
                 rest = refs[2:]
-            (gr, gl, sr, sl, vals, ml, act, mmask, smask, invd, pr, prt,
-             plm, plt, acinv, fa, fat, fb, b, x0, out) = rest[:21]
-            scr = rest[21:]
+            if lean:
+                (gr, gl, sr, sl, vals, act, invd, pr, prt, plm, plt,
+                 acinv, fa, fat, fb, b, x0, out) = rest[:18]
+                scr = rest[18:]
+                ml = mmask = smask = None
+            else:
+                (gr, gl, sr, sl, vals, ml, act, mmask, smask, invd, pr,
+                 prt, plm, plt, acinv, fa, fat, fb, b, x0, out) = rest[:21]
+                scr = rest[21:]
             ww = jnp.sum(act[:] * act[:])
 
             def mv(X):
@@ -539,6 +554,12 @@ class PressureGridCG:
                 z2 = z1 + coarse(r - mv(z1))
                 return z2 + omega * (invd[:] * (r - mv(z2)))
 
+            if lean:
+                # rhs prep and slave copyback happened outside (XLA)
+                out[:] = _cg_core(
+                    mv, precond, project, b[:], x0[:], iters, tol
+                )
+                return
             # rhs: M_L ∘ b, slave→master edge merge, mask
             to_master = (ns - 1, 0) if pair_axis == 0 else (0, ns - 1)
             to_slave = (1, 0) if pair_axis == 0 else (0, 1)
@@ -572,28 +593,60 @@ class PressureGridCG:
             diag_args = [K.diags]
             scratch_shapes = []
 
-        def solve1(b_grid, x0_grid):
+        n_planes = 17 if lean else 20
+
+        def _call(rhs_grid, x0_grid):
+            args = [
+                shifts, *diag_args,
+                K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT, K.rest_vals,
+            ]
+            if not lean:
+                args += [
+                    _grid_of(self.m_lumped, ns),
+                    _grid_of(self.active_mask, ns),
+                    _grid_of(self.master_mask, ns),
+                    _grid_of(self.slave_mask, ns),
+                ]
+            else:
+                args += [_grid_of(self.active_mask, ns)]
+            args += [
+                _grid_of(inv_diag, ns), self.Pr, self.PrT, self.Pl,
+                self.PlT, self.ac_inv, self.Fa, self.FaT, self.Fb,
+                rhs_grid, x0_grid,
+            ]
             return pl.pallas_call(
                 kernel,
-                out_shape=jax.ShapeDtypeStruct((ns, ns), b_grid.dtype),
-                in_specs=[smem()] + diag_specs + [vmem() for _ in range(20)],
+                out_shape=jax.ShapeDtypeStruct((ns, ns), rhs_grid.dtype),
+                in_specs=[smem()] + diag_specs
+                + [vmem() for _ in range(n_planes)],
                 out_specs=vmem(),
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
                     vmem_limit_bytes=116 * 2**20,
                 ),
-            )(
-                shifts, *diag_args,
-                K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
-                K.rest_vals, _grid_of(self.m_lumped, ns),
-                _grid_of(self.active_mask, ns),
-                _grid_of(self.master_mask, ns),
-                _grid_of(self.slave_mask, ns),
-                _grid_of(inv_diag, ns), self.Pr, self.PrT, self.Pl,
-                self.PlT, self.ac_inv, self.Fa, self.FaT, self.Fb,
-                b_grid, x0_grid,
-            )
+            )(*args)
+
+        if not lean:
+            return jax.jit(_call)
+
+        to_master = (ns - 1, 0) if pair_axis == 0 else (0, ns - 1)
+        to_slave = (1, 0) if pair_axis == 0 else (0, 1)
+
+        def roll(X, dy, s):
+            # XLA twin of the in-kernel _roll2 (same index convention)
+            return jnp.roll(jnp.roll(X, -dy, -2), -s, -1)
+
+        def solve1(b_grid, x0_grid):
+            ml = _grid_of(self.m_lumped, ns)
+            act = _grid_of(self.active_mask, ns)
+            mm = _grid_of(self.master_mask, ns)
+            sm = _grid_of(self.slave_mask, ns)
+            rhs = ml * b_grid
+            rhs = rhs + roll(rhs * sm, *to_master) * mm
+            rhs = rhs * act
+            p = _call(rhs, x0_grid * act)
+            return p * (1.0 - sm) + roll(p * mm, *to_slave) * sm
 
         return jax.jit(solve1)
 
