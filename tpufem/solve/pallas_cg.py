@@ -57,6 +57,13 @@ def _roll2(X, dy: int, s: int, ns: int, interpret: bool):
     return out
 
 
+_VMEM_LIMIT = 121 * 2**20  # scoped-VMEM budget for the whole-solve
+# kernels.  v5e exposes 128 MiB; Mosaic's default 16 MiB rejects the CG
+# loop's temporaries outright.  116 MiB was the round-3 working value —
+# at ns=1024 (1.05M nodes) the lean streamed pressure kernel measures
+# 117.32 MB scoped demand, so the cap now sits at 121 MiB (validated:
+# the 1M run executes; anything ≥128 MiB would fail at compile anyway)
+
 _LOOP_OFFSETS_FROM = 12  # ≥: apply offsets in a fori_loop with DYNAMIC
 # roll shifts instead of unrolling — renumbered arbitrary meshes carry
 # 13–24 offsets and the unrolled form made Mosaic compiles take 10–30
@@ -304,7 +311,7 @@ class ViscousGridCG:
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
-                    vmem_limit_bytes=116 * 2**20,  # v5e has 128 MiB VMEM;
+                    vmem_limit_bytes=_VMEM_LIMIT,  # v5e has 128 MiB VMEM;
                     # the 16 MiB default rejects the CG loop's temporaries
                 ),
             )(
@@ -623,7 +630,7 @@ class PressureGridCG:
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
-                    vmem_limit_bytes=116 * 2**20,
+                    vmem_limit_bytes=_VMEM_LIMIT,
                 ),
             )(*args)
 

@@ -36,6 +36,7 @@ from tpufem.ops.gridop import GridOperator
 from tpufem.solve.pallas_cg import (
     PressureGridCG,
     ViscousGridCG,
+    _VMEM_LIMIT,
     _cg_core,
     _grid_of,
     _make_apply,
@@ -391,7 +392,7 @@ class GridStokesStep:
                 ],
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
-                    vmem_limit_bytes=116 * 2**20,
+                    vmem_limit_bytes=_VMEM_LIMIT,
                 ),
             )(
                 *sh_tabs,
