@@ -299,18 +299,33 @@ def run_th_sparse(
     )
     t_build = time.perf_counter() - t0
 
+    # host loop over ONE jitted step rather than a lax.scan of all steps:
+    # the tunneled TPU runtime kills multi-minute single dispatches (the
+    # scanned f64 Uzawa program reproducibly crashes the worker), and at
+    # seconds per step the per-dispatch overhead is noise anyway
+    import jax
+
+    import jax.numpy as jnp
+
+    dtype = prob.mp_lumped.dtype
+    step = jax.jit(lambda u, p: th_sparse.th_sparse_step(prob, u, p))
+    u0 = prob.u_bc.astype(dtype)
+    p0 = jnp.zeros(prob.n1, dtype=dtype)
     t0 = time.perf_counter()
-    u, _, mets = th_sparse.run(prob, steps=steps)
-    np.asarray(u)
+    u1, _, _ = step(u0, p0)
+    np.asarray(u1)
     t_compile = time.perf_counter() - t0
+
+    u, p = u0, p0
     t0 = time.perf_counter()
-    u, _, mets = th_sparse.run(prob, steps=steps)
+    for _ in range(steps):
+        u, p, mets = step(u, p)
     u_host = np.asarray(u)
     elapsed = time.perf_counter() - t0
     assert np.isfinite(u_host).all(), "sparse TH bench diverged"
 
     th_weak = float(np.abs(np.asarray(prob.b_apply(u))).max())
-    th_div = float(np.asarray(mets["final_div_max"])[-1])
+    th_div = float(np.asarray(mets["final_div_max"]))
 
     # P1/P1 projection on the SAME P1 mesh, same enclosed-box squirmer
     p1 = stokes.StokesProblem.build(
