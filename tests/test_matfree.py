@@ -579,3 +579,29 @@ def test_stencil_refill_matches_dense_convection():
     # refilled under jit too (the per-step path runs inside lax.scan)
     y = jax.jit(lambda e, v: rf.refill(e).matvec(v))(elem, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(C @ x), atol=1e-12)
+
+
+def test_pressure_lean_kernel_matches_full_interpret():
+    """lean=True (the rhs prep / slave copy-back moved to XLA outside the
+    kernel — the form the ≥360k streamed regime always uses) is
+    bit-equivalent to the full in-kernel form.  The interpret run covers
+    the lean MATH on CPU; the DMA-streamed lean kernel itself is
+    A/B-validated bit-identical on real TPU at 79k (BASELINE.md)."""
+    import dataclasses as dc
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    prob = stokes.StokesProblem.build(
+        mesh,
+        stokes.StokesConfig(
+            solver="cg", cg_storage="grid_interpret", cg_precond="twolevel",
+            cg_iters_visc=30, cg_iters_pressure=60, cg_warm_start=True,
+        ),
+    )
+    ps_full = prob.pressure_solver
+    ps_lean = dc.replace(ps_full, lean=True)
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    x0 = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    np.testing.assert_array_equal(
+        np.asarray(ps_lean.solve(b, x0=x0)), np.asarray(ps_full.solve(b, x0=x0))
+    )

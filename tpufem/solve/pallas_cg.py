@@ -379,6 +379,11 @@ class PressureGridCG:
     pair_axis: int = 0  # grid axis along which periodic pairs sit
     use_coarse: bool = True  # False → plain damped-Jacobi preconditioning
     stream_diags: bool = False  # diag planes HBM-resident, DMA-streamed
+    lean: bool | None = None  # None → follow stream_diags.  True moves
+    # the once-per-solve rhs prep / slave copy-back to XLA outside the
+    # kernel, dropping the ml/mmask/smask VMEM planes (the form the
+    # streamed regime always uses); settable independently so the CPU
+    # interpret tests cover the lean math without DMA streaming
 
     @classmethod
     def build(
@@ -507,7 +512,7 @@ class PressureGridCG:
         # (12 MB at ns=1024; the difference between fitting and OOM at 1M
         # nodes — the measured scoped-VMEM need was 126 MB vs the ~116 MB
         # budget with them resident)
-        lean = stream
+        lean = stream if self.lean is None else self.lean
 
         def kernel(*refs):
             sh = refs[0]
