@@ -180,7 +180,13 @@ def estimate_lmax(matvec, inv_diag, n: int, iters: int = 25, seed: int = 0):
         w = inv_diag * matvec(v)
         lam = jnp.linalg.norm(w)
         v = w / (lam + 1e-30)
-    return float(lam) * 1.05
+    lam = float(lam)
+    # loud failure beats a silent NaN ω poisoning every later solve
+    # (the smoother damping 1/λmax feeds all preconditioner paths)
+    assert np.isfinite(lam) and lam > 0, (
+        f"power iteration returned λmax={lam} — operator or device fault"
+    )
+    return lam * 1.05
 
 
 def bicgstab_fixed(

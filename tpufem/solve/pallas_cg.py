@@ -71,7 +71,16 @@ _LOOP_OFFSETS_FROM = 12  # ≥: apply offsets in a fori_loop with DYNAMIC
 # the loop form trades a little ILP for an O(1)-size program
 
 
-def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False):
+def _pad_even(n: int) -> int:
+    """Streamed-loop plane count: n_off rounded up to even (the loop body
+    consumes planes in pairs with static scratch slots) plus 2 zero pad
+    planes (so the software pipeline's run-ahead DMA start of plane g+2
+    is always in bounds)."""
+    return n + (n % 2) + 2
+
+
+def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
+                stream_loop: bool = False):
     """K·x on the (ns, ns) grid from kernel REFS (diags + remainder).
 
     Operands are read PER USE (``d[g]``, ``gr_rowT[:]`` at the dot) —
@@ -87,7 +96,16 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False):
     which is what carries the whole-solve kernels past the ~325k-node
     all-VMEM ceiling (BASELINE.md round-3 table).  The CG vectors stay
     VMEM-resident; per matvec the streamed bytes are n_off·N·4, which
-    at HBM bandwidth is far below one XLA dispatch of the unfused path."""
+    at HBM bandwidth is far below one XLA dispatch of the unfused path.
+
+    ``stream_loop=True`` (requires ``stream`` and ``ns % 128 == 0``): the
+    planes live in ONE stacked ``(_pad_even(n_off), ns, ns)`` HBM ref and
+    the double-buffer pipeline runs as a ``fori_loop`` over plane PAIRS
+    (static scratch slots, dynamic plane index, dynamic roll shifts) —
+    an O(1)-size program instead of the n_off-unrolled DMA chain, which
+    is what made the ≥800k-node Mosaic compiles take 5–13 minutes.  The
+    128-divisibility keeps every ``d.at[g]`` memref slice tile-aligned
+    (the reason the unrolled form uses separate whole refs)."""
     loop = stream or len(offsets) >= _LOOP_OFFSETS_FROM
 
     def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int,
@@ -96,7 +114,48 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False):
         required when the loop form is active (Pallas kernels cannot
         capture array constants).  ``scratch``/``sem``: (2, ns, ns) VMEM
         buffer + DMA semaphore pair, required when ``stream``."""
-        if stream:
+        if stream and stream_loop:
+            # Dynamic-plane double-buffer: ``d`` is ONE stacked
+            # (_pad_even(n_off), ns, ns) HBM ref, the pipeline a fori_loop
+            # over plane pairs.  Scratch slots stay STATIC (slot 0 ↔ even
+            # planes, slot 1 ↔ odd) so no dynamic VMEM reads; plane index
+            # and roll shifts are dynamic (SMEM table ``sh``, padded with
+            # zero shifts for the pad planes, whose values are zero).
+            assert scratch is not None and sem is not None and sh is not None
+            from jax.experimental.pallas import tpu as pltpu
+
+            E = _pad_even(len(offsets)) - 2  # even count of real+pad rows
+
+            def dma(g, slot: int):
+                return pltpu.make_async_copy(
+                    d.at[g], scratch[slot], sem.at[jnp.int32(slot)]
+                )
+
+            def roll_g(g):
+                if interpret:
+                    return jnp.roll(jnp.roll(X, sh[0, g], -2), sh[1, g], -1)
+                return pltpu.roll(
+                    pltpu.roll(X, sh[0, g], X.ndim - 2), sh[1, g], X.ndim - 1
+                )
+
+            dma(jnp.int32(0), 0).start()
+            dma(jnp.int32(1), 1).start()
+
+            def body(i, Y):
+                g0 = 2 * i
+                dma(g0, 0).wait()
+                Y = Y + scratch[0][:] * roll_g(g0)
+                dma(g0 + 2, 0).start()
+                dma(g0 + 1, 1).wait()
+                Y = Y + scratch[1][:] * roll_g(g0 + 1)
+                dma(g0 + 3, 1).start()
+                return Y
+
+            Y = jax.lax.fori_loop(0, E // 2, body, jnp.zeros_like(X))
+            # drain the two run-ahead DMAs (planes E, E+1 — zero pads)
+            dma(jnp.int32(E), 0).wait()
+            dma(jnp.int32(E + 1), 1).wait()
+        elif stream:
             # Static-unrolled double-buffered plane streaming: DMA plane
             # g+1 HBM→VMEM while multiplying plane g.  ``d`` is a TUPLE
             # of n_off separate (ns, ns) HBM refs and ``scratch`` a pair
@@ -152,11 +211,22 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False):
     return apply
 
 
-def _shift_table(offsets, ns: int) -> jnp.ndarray:
-    """(2, n_off) int32 roll shifts consumed by the loop-form apply."""
-    return jnp.asarray(
-        [[(-dy) % ns for dy, _ in offsets], [(-s) % ns for _, s in offsets]],
-        dtype=jnp.int32,
+def _shift_table(offsets, ns: int, pad_to: int = 0) -> jnp.ndarray:
+    """(2, max(n_off, pad_to)) int32 roll shifts for the loop-form apply
+    (zero-padded columns for the stream_loop pad planes)."""
+    rows = [[(-dy) % ns for dy, _ in offsets],
+            [(-s) % ns for _, s in offsets]]
+    for r in rows:
+        r.extend([0] * max(0, pad_to - len(r)))
+    return jnp.asarray(rows, dtype=jnp.int32)
+
+
+def _stacked_padded_diags(diags: jnp.ndarray) -> jnp.ndarray:
+    """(_pad_even(n_off), ns, ns) stack for the stream_loop DMA pipeline."""
+    n_off = diags.shape[0]
+    pad = _pad_even(n_off) - n_off
+    return jnp.concatenate(
+        [diags, jnp.zeros((pad,) + diags.shape[1:], diags.dtype)]
     )
 
 
@@ -229,6 +299,8 @@ class ViscousGridCG:
     tol: float = 0.0
     interpret: bool = False
     stream_diags: bool = False  # diag planes HBM-resident, DMA-streamed
+    stream_loop: bool = False  # + fori_loop DMA pipeline over ONE stacked
+    # HBM array (O(1) program size; needs ns % 128 == 0)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         m = self.interior_mask
@@ -241,7 +313,9 @@ class ViscousGridCG:
         iters, tol, dt_nu = self.iters, self.tol, self.dt_nu
         interpret = self.interpret
         stream = self.stream_diags and not interpret
-        apply_K = _make_apply(K.offsets, ns, interpret, stream=stream)
+        sloop = stream and self.stream_loop and ns % 128 == 0
+        apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
+                              stream_loop=sloop)
         n_rest = K.n_rest
 
         inv_diag = jnp.where(
@@ -255,9 +329,9 @@ class ViscousGridCG:
         def kernel(*refs):
             # streamed layout: [sh, d_0..d_{n_off-1}, gr, gl, sr, sl,
             # vals, mask, invd, b, x0 | out | s0, s1, sem]; non-streamed
-            # replaces the plane tuple with one stacked diags ref
+            # and stream_loop use one stacked diags ref instead
             sh = refs[0]
-            if stream:
+            if stream and not sloop:
                 d = refs[1:1 + n_off]
                 rest = refs[1 + n_off:]
             else:
@@ -286,8 +360,17 @@ class ViscousGridCG:
 
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-        shifts = _shift_table(K.offsets, ns)
-        if stream:
+        if sloop:
+            shifts = _shift_table(K.offsets, ns, pad_to=_pad_even(n_off) - 2)
+            diag_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+            diag_args = [_stacked_padded_diags(K.diags)]
+            scratch_shapes = [
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        elif stream:
+            shifts = _shift_table(K.offsets, ns)
             diag_specs = [
                 pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_off)
             ]
@@ -298,6 +381,7 @@ class ViscousGridCG:
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
+            shifts = _shift_table(K.offsets, ns)
             diag_specs = [vmem()]
             diag_args = [K.diags]
             scratch_shapes = []
@@ -379,6 +463,8 @@ class PressureGridCG:
     pair_axis: int = 0  # grid axis along which periodic pairs sit
     use_coarse: bool = True  # False → plain damped-Jacobi preconditioning
     stream_diags: bool = False  # diag planes HBM-resident, DMA-streamed
+    stream_loop: bool = False  # + fori_loop DMA pipeline over ONE stacked
+    # HBM array (O(1) program size; needs ns % 128 == 0)
     lean: bool | None = None  # None → follow stream_diags.  True moves
     # the once-per-solve rhs prep / slave copy-back to XLA outside the
     # kernel, dropping the ml/mmask/smask VMEM planes (the form the
@@ -401,6 +487,7 @@ class PressureGridCG:
         coarse_dtype=None,
         interpret: bool = False,
         stream_diags: bool = False,
+        stream_loop: bool = False,
     ) -> "PressureGridCG":
         from tpufem.solve.cg import estimate_lmax
         from tpufem.solve.twolevel import coarse_inverse, galerkin_coarse
@@ -482,6 +569,7 @@ class PressureGridCG:
             pair_axis=pair_axis,
             use_coarse=use_coarse,
             stream_diags=stream_diags,
+            stream_loop=stream_loop,
         )
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -496,7 +584,9 @@ class PressureGridCG:
         pair_axis = self.pair_axis
         use_coarse = self.use_coarse
         stream = self.stream_diags and not interpret
-        apply_K = _make_apply(K.offsets, ns, interpret, stream=stream)
+        sloop = stream and self.stream_loop and ns % 128 == 0
+        apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
+                              stream_loop=sloop)
         n_rest = K.n_rest
         ncr, ncl = self.Pr.shape[0], self.Pl.shape[0]
 
@@ -516,7 +606,7 @@ class PressureGridCG:
 
         def kernel(*refs):
             sh = refs[0]
-            if stream:
+            if stream and not sloop:
                 d = refs[1:1 + n_off]
                 rest = refs[1 + n_off:]
             else:
@@ -589,8 +679,17 @@ class PressureGridCG:
 
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-        shifts = _shift_table(K.offsets, ns)
-        if stream:
+        if sloop:
+            shifts = _shift_table(K.offsets, ns, pad_to=_pad_even(n_off) - 2)
+            diag_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+            diag_args = [_stacked_padded_diags(K.diags)]
+            scratch_shapes = [
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        elif stream:
+            shifts = _shift_table(K.offsets, ns)
             diag_specs = [
                 pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_off)
             ]
@@ -601,6 +700,7 @@ class PressureGridCG:
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
+            shifts = _shift_table(K.offsets, ns)
             diag_specs = [vmem()]
             diag_args = [K.diags]
             scratch_shapes = []

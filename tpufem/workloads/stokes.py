@@ -106,6 +106,11 @@ class StokesConfig:
     # ceiling past 325k at the cost of n_off·N·4 streamed bytes per
     # matvec), "auto" = stream from 360k nodes up (the measured all-VMEM
     # ceiling sits between 325k and 410k — BASELINE.md round-3 table)
+    cg_stream_loop: str = "off"  # streamed kernels: "on" runs the DMA
+    # pipeline as a fori_loop over ONE stacked HBM diag array (O(1)
+    # program size — cuts the 5–13 min Mosaic compiles at ≥800k nodes)
+    # instead of the n_off-unrolled chain; requires ns % 128 == 0 (tile-
+    # aligned plane slices) and silently falls back otherwise
     cg_coarse_nodes: int = 2048  # twolevel: target coarse-space size
     cg_coarse_dtype: str = "same"  # | "bf16": store the dense coarse
     # inverse in bfloat16 — halves the HBM bytes of the byte-dominant
@@ -583,6 +588,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
             config.cg_stream_diags == "on"
             or (config.cg_stream_diags == "auto" and mesh.n_nodes >= 360_000)
         )
+        sloop = config.cg_stream_loop == "on"
         try:
             Gv = GridOperator.build(K_csr, ns_grid, dtype=dtype)
             build_grid = Gv.coverage >= 0.9 or storage in ("grid", "grid_interpret")
@@ -595,6 +601,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     tol=config.cg_tol_visc,
                     interpret=interpret,
                     stream_diags=stream,
+                    stream_loop=sloop,
                 )
                 owner = pressure_owner_map(
                     mesh.n_nodes, boundary.masters, boundary.slaves
@@ -622,6 +629,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     ),
                     interpret=interpret,
                     stream_diags=stream,
+                    stream_loop=sloop,
                 )
                 dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
                 return visc, pressure, materialize(dx_csr), materialize(dy_csr), {}
