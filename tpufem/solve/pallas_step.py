@@ -81,6 +81,9 @@ class GridStokesStep:
             and cfg.double_projection
             and not cfg.dirichlet_lift  # lifted RHS not wired into the
             # fused kernel; the unfused grid path handles it
+            and not problem.visc_solver.stream_diags  # the fused kernel
+            # keeps all diag planes VMEM-resident; streamed (≥360k-node)
+            # configs must use the per-solve kernels, which stream
         ):
             return None
         k = int(getattr(cfg, "grid_steps_per_call", 0) or 0)
