@@ -476,11 +476,11 @@ def test_grid_storage_stokes_run_matches_csr():
     )
 
 
-def test_stream_diags_config_plumbs_and_interpret_falls_back():
-    """cg_stream_diags='on' reaches the grid solvers; interpret mode (the
-    CPU test config) forces the non-streamed apply, so the math is the
-    all-VMEM path's — the streamed DMA form itself is validated on real
-    TPU (benchmarks/stream_ab_r3.jsonl: bit-identical u at 79k)."""
+def test_stream_diags_interpret_matches_all_vmem():
+    """The streamed double-buffer apply (interpret mode emulates the
+    HBM refs + async copies) is bit-identical to the all-VMEM form —
+    the CPU twin of the real-TPU A/B (benchmarks/stream_ab_r3.jsonl:
+    bit-identical u at 79k)."""
     mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
     base = dict(solver="cg", cg_precond="twolevel",
                 cg_iters_visc=30, cg_iters_pressure=60, cg_warm_start=True)
@@ -500,6 +500,33 @@ def test_stream_diags_config_plumbs_and_interpret_falls_back():
     s_off, _ = stokes.run(pg_off, steps=3)
     np.testing.assert_array_equal(
         np.asarray(s_on["u"]), np.asarray(s_off["u"])
+    )
+
+
+def test_stream_loop_interpret_matches_unrolled_stream():
+    """The fori_loop DMA pipeline (cg_stream_loop='on': one stacked
+    padded HBM array, dynamic plane index/shifts, static scratch slots)
+    matches the unrolled streamed form.  Not asserted bit-exact: the
+    interpret emulation jit-compiles through XLA:CPU, which FMA-contracts
+    the rolled loop differently from the unrolled chain (measured one-ULP
+    drift per CG iteration, ≤3e-13 over 3 steps); on-device equivalence
+    is A/B-validated separately."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(solver="cg", cg_precond="twolevel",
+                cg_iters_visc=30, cg_iters_pressure=60, cg_warm_start=True,
+                cg_storage="grid_interpret", cg_stream_diags="on")
+    pg_loop = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_stream_loop="on", **base)
+    )
+    pg_unrolled = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_stream_loop="off", **base)
+    )
+    assert pg_loop.visc_solver.stream_loop
+    assert pg_loop.pressure_solver.stream_loop
+    s_a, _ = stokes.run(pg_loop, steps=3)
+    s_b, _ = stokes.run(pg_unrolled, steps=3)
+    np.testing.assert_allclose(
+        np.asarray(s_a["u"]), np.asarray(s_b["u"]), atol=1e-11
     )
 
 

@@ -312,8 +312,11 @@ class ViscousGridCG:
         ns = K.ns
         iters, tol, dt_nu = self.iters, self.tol, self.dt_nu
         interpret = self.interpret
-        stream = self.stream_diags and not interpret
-        sloop = stream and self.stream_loop and ns % 128 == 0
+        # interpret mode emulates async copies + HBM refs, so the streamed
+        # forms run (and are CI-covered) on CPU too; the ns%128 slice-
+        # alignment constraint is hardware-only
+        stream = self.stream_diags
+        sloop = stream and self.stream_loop and (interpret or ns % 128 == 0)
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
                               stream_loop=sloop)
         n_rest = K.n_rest
@@ -583,8 +586,8 @@ class PressureGridCG:
         interpret = self.interpret
         pair_axis = self.pair_axis
         use_coarse = self.use_coarse
-        stream = self.stream_diags and not interpret
-        sloop = stream and self.stream_loop and ns % 128 == 0
+        stream = self.stream_diags  # interpret emulates DMA (see above)
+        sloop = stream and self.stream_loop and (interpret or ns % 128 == 0)
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
                               stream_loop=sloop)
         n_rest = K.n_rest
