@@ -124,6 +124,11 @@ def main(argv=None):
     s.add_argument("--bench-mesh", default=None,
                    help="imported mesh stem (e.g. mesh_fine.1) for --large")
     s.add_argument("--no-pad-hole", action="store_true")
+    s.add_argument("--th", action="store_true",
+                   help="--large: sparse Taylor–Hood timed run + same-mesh "
+                        "P1/P1 divergence comparison")
+    s.add_argument("--n-side", type=int, default=96,
+                   help="--large --th mesh resolution")
 
     args = parser.parse_args(argv)
     import tpufem
@@ -160,6 +165,8 @@ def main(argv=None):
                 bench_argv += ["--mesh", args.bench_mesh]
             if args.no_pad_hole:
                 bench_argv += ["--no-pad-hole"]
+            if args.th:
+                bench_argv += ["--th", "--n-side", str(args.n_side)]
             bench_large.main(bench_argv)
             return
         import bench
