@@ -89,7 +89,7 @@ def _probe(problem, u, pts):
 
     vals, found = transport.interpolate(
         problem.mesh, jnp.asarray(u), jnp.asarray(pts, dtype=u.dtype),
-        problem.locator,
+        problem.get_locator(),
     )
     return np.asarray(vals, dtype=np.float64), np.asarray(found)
 
@@ -198,7 +198,7 @@ def run_th(sizes=None, steps0: int | None = None):
 
         vals2, found2 = transport.interpolate(
             mesh, jnp.asarray(np.asarray(uth)[: mesh.n_nodes]),
-            jnp.asarray(pts), problem.locator,
+            jnp.asarray(pts), problem.get_locator(),
         )
         u2 = np.asarray(vals2, dtype=np.float64)
         ok = np.asarray(found1) & np.asarray(found2)

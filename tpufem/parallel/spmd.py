@@ -514,14 +514,14 @@ def make_sharded_step(ensemble: ShardedEnsemble, _jit: bool = True):
     def advect(c, u):
         return jax.vmap(
             lambda ci, ui: transport.advect_semilagrange(
-                mesh, problem.locator, ci, ui, dt, L=cfg.L, H=cfg.H
+                mesh, problem.get_locator(), ci, ui, dt, L=cfg.L, H=cfg.H
             )
         )(c, u)
 
     def tracers_step(pts, status, u):
         new_pts = jax.vmap(
             lambda pi, ui: transport.tracer_step(
-                mesh, problem.locator, pi, ui, dt, L=cfg.L, method=cfg.tracer_method
+                mesh, problem.get_locator(), pi, ui, dt, L=cfg.L, method=cfg.tracer_method
             )
         )(pts, u)
         new_status = jax.vmap(

@@ -201,10 +201,26 @@ class StokesProblem:
     gridified: Any = None  # mesh.gridify.Gridified when the input mesh was
     # renumbered for grid storage — .pull(field) maps (ns²,…) nodal
     # fields back to the input mesh's node order
+    _locator_cache: Any = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     @property
     def dtype(self):
         return _DTYPES[self.config.precision]
+
+    def get_locator(self):
+        """The point locator, built on first use.  transport="none"
+        problems skip the build entirely (the GridLocator autotune costs
+        ~19 s at 410k nodes — more than half the problem build) unless a
+        consumer (e.g. the convergence prober) actually asks for one."""
+        if self.locator is not None:
+            return self.locator
+        loc = self._locator_cache.get("loc")
+        if loc is None:
+            loc = _make_locator(self.mesh, self.config)
+            self._locator_cache["loc"] = loc
+        return loc
 
     def div(self, u: jnp.ndarray) -> jnp.ndarray:
         if self.div_x is not None:
@@ -266,7 +282,8 @@ class StokesProblem:
             pressure_solver=pressure,
             inner_values=inner_values,
             m_lumped=jnp.asarray(np.asarray(m_lumped), dtype=dtype),
-            locator=_make_locator(mesh, config),
+            locator=(None if config.transport == "none"
+                     else _make_locator(mesh, config)),
             tracer_init=tracer_init,
             config=config,
             mf_dx=mf_dx,
@@ -431,7 +448,10 @@ class StokesProblem:
             fused_Dstar = jnp.asarray(fused_Dstar, dtype=dtype)
             fused_dstar0 = jnp.asarray(fused_dstar0, dtype=dtype)
 
-        locator = _make_locator(mesh, config)
+        locator = (
+            None if config.transport == "none"
+            else _make_locator(mesh, config)
+        )
         tracer_init = None
         if config.transport == "tracers":
             tracer_init = transport.init_tracer_grid(
