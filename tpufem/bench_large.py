@@ -287,14 +287,21 @@ def run_th_sparse(
     t0 = time.perf_counter()
     mesh = tpufem.generate_annulus_mesh(n_side=n_side, n_circle=n_circle)
     m2 = p2_refine(mesh, snap_center=(0.5, 0.5), snap_radius=0.25)
+    # h-scaled iteration budget: the inner velocity CG's condition number
+    # grows like dt·ν/h² (Jacobi-preconditioned, mass+stiffness), so a
+    # fixed 60 iterations that converges at n_side≈28 leaves a 2e-4 weak
+    # residual at n_side=96 (measured) — iteration-starved, not the
+    # scheme's ceiling.  Linear-in-n_side budgets restore it: measured
+    # weak divergence 2.6e-5 at 96 with inner=120/outer=40/plap=30 and
+    # 1.0e-6 with 180/50/40.
+    ii = max(60, int(1.5 * n_side))
+    io_ = max(40, n_side // 2)
+    ip = max(20, n_side // 3)
     prob = th_sparse.SparseTHProblem.build(
         m2,
-        # convergent iteration budget (the test_th_sparse.py dense-parity
-        # settings): the weak-divergence claim measures the SCHEME's
-        # ceiling, not an iteration-starved approximation of it
         th_sparse.SparseTHConfig(
             dt=0.01, nu=1.0, precision=precision,
-            iters_inner=60, iters_outer=40, iters_plap=20,
+            iters_inner=ii, iters_outer=io_, iters_plap=ip,
         ),
     )
     t_build = time.perf_counter() - t0
