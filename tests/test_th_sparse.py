@@ -93,3 +93,32 @@ def test_th_sparse_scale_bench_row():
     assert row["steps_per_sec"] > 0
     assert row["div_ratio_weak"] > 10.0
     assert row["max_u"] == pytest.approx(2.0, rel=1e-2)
+
+
+def test_th_inner_twolevel_matches_jacobi():
+    """precond_inner='twolevel' (aggregation coarse grid on M₂/Δt+θνK₂)
+    converges the inner velocity solve to the same solution as Jacobi —
+    fewer iterations per digit at scale (measured at n_side=96: 3e-6
+    residual in 80 iterations vs Jacobi's 1e-3 in 160)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    mesh = tpufem.generate_annulus_mesh(n_side=28, n_circle=32)
+    m2 = p2_refine(mesh, snap_center=(0.5, 0.5), snap_radius=0.25)
+    pt = th_sparse.SparseTHProblem.build(
+        m2,
+        th_sparse.SparseTHConfig(
+            dt=0.01, precond_inner="twolevel", iters_inner=80
+        ),
+    )
+    assert pt.tl_vel is not None
+    pj = dc.replace(
+        pt, tl_vel=None,
+        config=dc.replace(pt.config, iters_inner=300),
+    )
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal((pt.n2, 2))) * pt.vel_mask[:, None]
+    np.testing.assert_allclose(
+        np.asarray(pt.solve_vel(b)), np.asarray(pj.solve_vel(b)), atol=1e-8
+    )

@@ -63,6 +63,12 @@ class SparseTHConfig:
     iters_inner: int = 30  # velocity CG per Schur matvec
     iters_outer: int = 25  # Schur CG per step (warm-started)
     iters_plap: int = 8  # pressure-Laplacian sweeps per CC application
+    precond_inner: str = "jacobi"  # | "twolevel": aggregation coarse-grid
+    # correction on the velocity operator M₂/Δt + θνK₂ — its Jacobi-CG
+    # iteration count grows ∝ √(Δt·ν/h²) with refinement, the two-level
+    # count stays ~O(10) (each application costs 2 extra operator
+    # matvecs, so it wins once Jacobi needs ≳3× the iterations)
+    coarse_nodes: int = 1024  # twolevel target coarse-space size
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +87,8 @@ class SparseTHProblem:
     corners: np.ndarray  # (N1,) pressure dof → P2 node id
     pmesh: Mesh  # corner (P1) triangulation — pressure space + diagnostics
     config: SparseTHConfig
+    tl_vel: Any = None  # solve.twolevel.TwoLevel on M₂/Δt + θνK₂
+    # (precond_inner="twolevel")
 
     @property
     def n2(self) -> int:
@@ -136,6 +144,33 @@ class SparseTHProblem:
             def cast(op):
                 return op.with_data(op.data.astype(dtype))
 
+            tl_vel = None
+            if config.precond_inner == "twolevel":
+                from tpufem.solve.twolevel import build_twolevel
+
+                # assemble_csr_conn on identical connectivity yields an
+                # identical sparsity pattern, so the velocity operator's
+                # CSR is a data-level combination
+                assert np.array_equal(M2.indices, K2.indices), (
+                    "M2/K2 pattern mismatch — cannot combine for twolevel"
+                )
+                a_vel = K2.with_data(
+                    np.asarray(M2.data) / config.dt
+                    + (config.theta * config.nu) * np.asarray(K2.data)
+                )
+                diag_v = np.asarray(a_vel.diag())
+                inv_diag = jnp.asarray(
+                    np.where(mask > 0, 1.0 / diag_v, 1.0), dtype=dtype
+                )
+                mask_j = jnp.asarray(mask, dtype=dtype)
+                masked_mv = lambda x: (
+                    mask_j * a_vel.matvec(mask_j * x) + (1.0 - mask_j) * x
+                )
+                tl_vel = build_twolevel(
+                    a_vel, np.asarray(mesh.coords), masked_mv, inv_diag,
+                    target_coarse=config.coarse_nodes, dtype=dtype,
+                )
+
             return cls(
                 mesh=mesh,
                 K2=cast(K2), M2=cast(M2),
@@ -147,6 +182,7 @@ class SparseTHProblem:
                 corners=corners,
                 pmesh=pmesh,
                 config=config,
+                tl_vel=tl_vel,
             )
 
     # -- operators ---------------------------------------------------------
@@ -172,7 +208,8 @@ class SparseTHProblem:
         return jnp.stack([self.BxT.matvec(q), self.ByT.matvec(q)], axis=1)
 
     def solve_vel(self, b: jnp.ndarray, x0=None) -> jnp.ndarray:
-        """Inner Jacobi-PCG on the masked velocity operator, (N2, k)."""
+        """Inner PCG (Jacobi or two-level) on the masked velocity
+        operator, (N2, k)."""
         cfg = self.config
         diag = (
             self.M2.diag() / cfg.dt + (cfg.theta * cfg.nu) * self.K2.diag()
@@ -180,9 +217,18 @@ class SparseTHProblem:
         inv = jnp.where(self.vel_mask > 0, 1.0 / diag, 1.0)
         from tpufem.solve.matfree import _solve_columns
 
+        if self.tl_vel is not None:
+            from tpufem.solve.twolevel import twolevel_preconditioner
+
+            # column-broadcast shapes: the closure runs on (N2, k)
+            precond = twolevel_preconditioner(
+                self.vel_op, inv[:, None], self.tl_vel,
+                active_mask=self.vel_mask[:, None],
+            )
+        else:
+            precond = lambda r: (inv * r.T).T
         return _solve_columns(
-            self.vel_op, b, x0=x0, iters=cfg.iters_inner,
-            precond=lambda r: (inv * r.T).T,
+            self.vel_op, b, x0=x0, iters=cfg.iters_inner, precond=precond
         )
 
     def cc_precond(self, r: jnp.ndarray) -> jnp.ndarray:
