@@ -259,13 +259,19 @@ def main(argv=None):
             prob = th_sparse.SparseTHProblem.build(
                 m2, th_sparse.SparseTHConfig(steps=args.steps or 200)
             )
-            u, p, metrics = th_sparse.run(prob)
+            import jax as _jax
+
+            # accelerators: one dispatch per step — the tunneled TPU
+            # runtime kills multi-minute scanned dispatches
+            u, p, metrics = th_sparse.run(
+                prob, host_loop=_jax.default_backend() != "cpu"
+            )
             print(json.dumps({"taylorhood_sparse": {
                 "n2": int(prob.n2), "n1": int(prob.n1),
                 "steps": args.steps or 200,
                 "max_u": float(np.abs(np.asarray(u)).max()),
-                "div_weak_max": float(np.asarray(metrics["div_weak_max"])[-1]),
-                "final_div_max": float(np.asarray(metrics["final_div_max"])[-1]),
+                "div_weak_max": float(np.ravel(metrics["div_weak_max"])[-1]),
+                "final_div_max": float(np.ravel(metrics["final_div_max"])[-1]),
             }}))
             _finish(args, "taylorhood", None, mesh=mesh,
                     field=np.linalg.norm(np.asarray(u)[: mesh.n_nodes], axis=1))

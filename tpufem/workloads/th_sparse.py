@@ -298,13 +298,33 @@ def th_sparse_step(problem: SparseTHProblem, u: jnp.ndarray, p0: jnp.ndarray):
 _RUN_CACHE: dict = {}
 
 
-def run(problem: SparseTHProblem, steps: int | None = None):
-    """Scan the stepper → (u (N2,2), p (N1,), stacked metrics)."""
+def run(problem: SparseTHProblem, steps: int | None = None,
+        host_loop: bool = False):
+    """Scan the stepper → (u (N2,2), p (N1,), stacked metrics).
+
+    ``host_loop=True`` drives one jitted step from a Python loop instead
+    of a single scanned program (final-step metrics only).  Use it on
+    the sandbox's tunneled TPU: the runtime kills multi-minute single
+    dispatches, and a scanned many-step Uzawa solve is one such dispatch
+    (reproducibly crashed the worker at 35k dofs × 20 steps)."""
     cfg = problem.config
     n_steps = steps if steps is not None else cfg.steps
     dtype = problem.mp_lumped.dtype
     u0 = problem.u_bc.astype(dtype)
     p0 = jnp.zeros(problem.n1, dtype=dtype)
+
+    if host_loop:
+        key = (id(problem), "host")
+        hit = _RUN_CACHE.get(key)
+        if hit is not None and hit[0] is problem:
+            step = hit[1]
+        else:
+            step = jax.jit(lambda u, p: th_sparse_step(problem, u, p))
+            _RUN_CACHE[key] = (problem, step)
+        u, p = u0, p0
+        for _ in range(n_steps):
+            u, p, mets = step(u, p)
+        return u, p, mets
 
     key = (id(problem), n_steps)
     hit = _RUN_CACHE.get(key)
