@@ -207,22 +207,29 @@ def bicgstab_fixed(
     r0 = b - matvec(x0)
     rhat = r0
 
+    def fin(v):
+        # finite-or-zero: ratios at BiCGStab breakdown (ρ or ω denormal —
+        # which TPU flushes to zero in f32 — or overflowing) poison every
+        # later iterate with inf/NaN; a zeroed step degrades to "no
+        # progress this iteration" instead.  Bit-exact when healthy.
+        return jnp.where(jnp.isfinite(v), v, jnp.zeros_like(v))
+
     def body(state, _):
         x, r, p, v, rho, alpha, omega = state
         rho_new = jnp.vdot(rhat, r)
-        beta = jnp.where(
+        beta = fin(jnp.where(
             (rho != 0) & (omega != 0), (rho_new / rho) * (alpha / omega), 0.0
-        )
+        ))
         p = r + beta * (p - omega * v)
         phat = M(p)
         v = matvec(phat)
         denom = jnp.vdot(rhat, v)
-        alpha = jnp.where(denom != 0, rho_new / denom, 0.0)
+        alpha = fin(jnp.where(denom != 0, rho_new / denom, 0.0))
         s = r - alpha * v
         shat = M(s)
         t = matvec(shat)
         tt = jnp.vdot(t, t)
-        omega = jnp.where(tt != 0, jnp.vdot(t, s) / tt, 0.0)
+        omega = fin(jnp.where(tt != 0, jnp.vdot(t, s) / tt, 0.0))
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         return (x, r, p, v, rho_new, alpha, omega), None
