@@ -306,27 +306,17 @@ def run_th_sparse(
     )
     t_build = time.perf_counter() - t0
 
-    # host loop over ONE jitted step rather than a lax.scan of all steps:
-    # the tunneled TPU runtime kills multi-minute single dispatches (the
-    # scanned f64 Uzawa program reproducibly crashes the worker), and at
-    # seconds per step the per-dispatch overhead is noise anyway
-    import jax
-
-    import jax.numpy as jnp
-
-    dtype = prob.mp_lumped.dtype
-    step = jax.jit(lambda u, p: th_sparse.th_sparse_step(prob, u, p))
-    u0 = prob.u_bc.astype(dtype)
-    p0 = jnp.zeros(prob.n1, dtype=dtype)
+    # host_loop: one dispatch per jitted step — the tunneled TPU runtime
+    # kills multi-minute single dispatches (the scanned f64 Uzawa program
+    # reproducibly crashes the worker), and at seconds per step the
+    # per-dispatch overhead is noise anyway
     t0 = time.perf_counter()
-    u1, _, _ = step(u0, p0)
+    u1, _, _ = th_sparse.run(prob, steps=1, host_loop=True)
     np.asarray(u1)
     t_compile = time.perf_counter() - t0
 
-    u, p = u0, p0
     t0 = time.perf_counter()
-    for _ in range(steps):
-        u, p, mets = step(u, p)
+    u, _, mets = th_sparse.run(prob, steps=steps, host_loop=True)
     u_host = np.asarray(u)
     elapsed = time.perf_counter() - t0
     assert np.isfinite(u_host).all(), "sparse TH bench diverged"
