@@ -122,3 +122,23 @@ def test_th_inner_twolevel_matches_jacobi():
     np.testing.assert_allclose(
         np.asarray(pt.solve_vel(b)), np.asarray(pj.solve_vel(b)), atol=1e-8
     )
+
+
+def test_steady_uzawa_matches_dense_taylor_hood():
+    """steady_solve (matrix-free Uzawa on the STEADY Stokes saddle, the
+    νM_p⁻¹ steady Cahouet–Chabard preconditioner) reproduces the dense
+    solve_taylor_hood solution — the solver that extends the TH
+    convergence cross-check beyond the dense (2N₂+N₁)² ceiling."""
+    mesh = tpufem.generate_annulus_mesh(n_side=24, n_circle=32)
+    m2 = p2_refine(mesh, snap_center=(0.5, 0.5), snap_radius=0.25)
+    ud, pd, res = ns.solve_taylor_hood(
+        m2, ns.TaylorHoodConfig(nu=1.0, B1=-2.0, B2=0.0)
+    )
+    assert float(res) < 1e-10
+    prob = th_sparse.SparseTHProblem.build(m2, th_sparse.SparseTHConfig(nu=1.0))
+    us, ps = th_sparse.steady_solve(prob)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(ud), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(ps) - np.asarray(ps).mean(),
+        np.asarray(pd) - np.asarray(pd).mean(), atol=1e-7,
+    )

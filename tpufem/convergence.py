@@ -155,12 +155,30 @@ def run_self(
 TH_SIZES = [
     ("0.5k", 24, 32), ("0.8k", 32, 40), ("1.2k", 40, 48), ("1.7k", 48, 56),
 ]
+# Finer rungs (TH reference switches to th_sparse.steady_solve past the
+# dense factorization ceiling).  NOT part of the monotone-decrease gate:
+# the lifted P1/P1 error vs same-mesh TH bottoms out at ~0.118 near
+# h≈1/48 and GROWS under further refinement (0.133 at 60, 0.240 at 80 —
+# dt-, precision- and solver-tolerance-independent, measured round 3).
+# Once the Dirichlet-traction defect is lifted, the un-stabilized
+# P1/P1 pair's LBB modes dominate: the projection scheme has a genuine
+# accuracy FLOOR, which is the quantitative form of the reference's own
+# caveat (README.md:19) — fine-mesh accuracy requires the (sparse)
+# Taylor–Hood path.
+TH_SIZES_EXT = [("3.6k", 60, 68), ("6.4k", 80, 88)]
+DENSE_TH_DOF_CEIL = 15_000  # 2N₂+N₁ above this → sparse steady Uzawa
 T_STEADY = 12.0  # enclosed-box spin-up: measured steady by T≈6–12 (the
 # bare viscous estimate L²/(π²ν)≈0.1 is off ~100× for the recirculation)
 
 
-def run_th(sizes=None, steps0: int | None = None):
-    """P1/P1 projection steady state vs same-mesh Taylor–Hood."""
+def run_th(sizes=None, steps0: int | None = None, check: bool = True,
+           extended: bool = False):
+    """P1/P1 projection steady state vs same-mesh Taylor–Hood.
+
+    ``extended=True`` appends the TH_SIZES_EXT rungs, where the lifted
+    P1/P1 error is documented to turn NON-monotone (see the comment at
+    TH_SIZES_EXT) — the monotone gate then applies to the base rungs
+    only."""
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -171,7 +189,10 @@ def run_th(sizes=None, steps0: int | None = None):
 
     pts = probe_points(800)
     rows = []
-    for label, n_side, n_circle in sizes or TH_SIZES:
+    base = sizes or TH_SIZES
+    table = list(base) + (TH_SIZES_EXT if extended and sizes is None else [])
+    n_gated = len(base)
+    for label, n_side, n_circle in table:
         dt = DT0 * (40 - 1) / (n_side - 1)
         steps = int(round((steps0 * DT0 if steps0 else T_STEADY) / dt))
         mesh = generate_annulus_mesh(n_side=n_side, n_circle=n_circle)
@@ -186,10 +207,20 @@ def run_th(sizes=None, steps0: int | None = None):
         u1, found1 = _probe(problem, state["u"], pts)
 
         m2 = p2_refine(mesh, snap_center=(0.5, 0.5), snap_radius=0.25)
-        uth, _, res = ns.solve_taylor_hood(
-            m2, ns.TaylorHoodConfig(nu=NU, B1=-2.0, B2=0.0)
-        )
-        assert float(res) < 1e-8
+        n2 = m2.coords.shape[0]
+        n1 = mesh.n_nodes
+        if 2 * n2 + n1 > DENSE_TH_DOF_CEIL:
+            from tpufem.workloads import th_sparse
+
+            sp = th_sparse.SparseTHProblem.build(
+                m2, th_sparse.SparseTHConfig(nu=NU, B1=-2.0, B2=0.0)
+            )
+            uth, _ = th_sparse.steady_solve(sp)
+        else:
+            uth, _, res = ns.solve_taylor_hood(
+                m2, ns.TaylorHoodConfig(nu=NU, B1=-2.0, B2=0.0)
+            )
+            assert float(res) < 1e-8
         # P2 velocity sampled with the P1 interpolant of its corner values
         # (probe-level comparison; both fields share the corner nodes)
         import jax.numpy as jnp
@@ -211,10 +242,11 @@ def run_th(sizes=None, steps0: int | None = None):
             "label": label, "n_nodes": int(mesh.n_nodes), "h": round(h, 5),
             "dt": dt, "steps": steps, "err_vs_taylor_hood": round(err, 6),
         })
-    errs = [r["err_vs_taylor_hood"] for r in rows]
-    assert all(a > b for a, b in zip(errs, errs[1:])), (
-        f"P1 error vs Taylor–Hood not decreasing under refinement: {errs}"
-    )
+    if check:
+        errs = [r["err_vs_taylor_hood"] for r in rows[:n_gated]]
+        assert all(a > b for a, b in zip(errs, errs[1:])), (
+            f"P1 error vs Taylor–Hood not decreasing under refinement: {errs}"
+        )
     return rows
 
 
@@ -229,6 +261,9 @@ def main(argv=None):
                         help="step count at the coarsest size (default: "
                              "T=1.0 horizon)")
     parser.add_argument("--storage", default="auto")
+    parser.add_argument("--extended", action="store_true",
+                        help="th: append the beyond-convergent-range "
+                             "rungs (sparse steady TH reference)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
@@ -243,7 +278,8 @@ def main(argv=None):
         table = TH_SIZES
         wanted = set(args.sizes.split(",")) if args.sizes else None
         sizes = [s for s in table if wanted is None or s[0] in wanted]
-        rows = run_th(sizes, steps0=args.steps0 or 150)
+        rows = run_th(sizes if wanted is not None else None,
+                      steps0=args.steps0 or 150, extended=args.extended)
         cols = ("label", "n_nodes", "h", "dt", "steps", "err_vs_taylor_hood")
 
     for r in rows:

@@ -346,3 +346,72 @@ def run(problem: SparseTHProblem, steps: int | None = None,
 
         _RUN_CACHE[key] = (problem, scan_all)
     return scan_all(u0, p0)
+
+
+def steady_solve(
+    problem: SparseTHProblem,
+    iters_inner: int = 400,
+    iters_outer: int = 80,
+):
+    """STEADY Stokes Taylor–Hood by Uzawa-CG → (u (N2,2), p (N1,)).
+
+    The dense :func:`navier_stokes.solve_taylor_hood` factors the full
+    (2N₂+N₁)² saddle matrix — ~15k dofs is its practical ceiling.  This
+    solves the same system matrix-free:
+
+        ν K₂ u + Bᵀ p = lift(u_bc),   B u = −B u_bc
+
+    * inner: two-level-PCG on the masked ν K₂ (pure stiffness — Jacobi
+      alone needs O(1/h) iterations, the aggregation coarse grid keeps
+      the count bounded);
+    * outer: CG on S = B (νK₂)⁻¹ Bᵀ with the steady Cahouet–Chabard
+      preconditioner S̃⁻¹ = ν M_p⁻¹ (the Δt→∞ limit of the transient
+      one: for steady Stokes the Schur complement is spectrally
+      equivalent to the pressure mass matrix), constant-mode deflated.
+
+    Matches the dense solve to CG tolerance (tests/test_th_sparse.py).
+    """
+    from tpufem.solve.matfree import _solve_columns
+    from tpufem.solve.twolevel import build_twolevel, twolevel_preconditioner
+    from tpufem.utils.host import host_context
+
+    cfg = problem.config
+    nu = cfg.nu
+    mask = problem.vel_mask
+    m = mask[:, None]
+    K2 = problem.K2
+
+    def a_mv(x):
+        mm = mask if x.ndim == 1 else m
+        return mm * (nu * _mv(K2, mm * x)) + (1.0 - mm) * x
+
+    diag = nu * K2.diag()
+    inv = jnp.where(mask > 0, 1.0 / diag, 1.0)
+    with host_context():
+        a_s = K2.with_data(nu * np.asarray(K2.data))
+        tl = build_twolevel(
+            a_s, np.asarray(problem.mesh.coords), a_mv, inv,
+            target_coarse=cfg.coarse_nodes,
+        )
+    precond = twolevel_preconditioner(
+        a_mv, inv[:, None], tl, active_mask=m
+    )
+
+    def solveA(b):
+        return _solve_columns(a_mv, b, iters=iters_inner, precond=precond)
+
+    lift = nu * _mv(K2, problem.u_bc)
+    r_v = -m * lift
+    g = -problem.b_apply(problem.u_bc)
+    rhs_p = problem.b_apply(solveA(r_v)) - g
+
+    def s_apply(q):
+        return problem.b_apply(solveA(m * problem.bt_apply(q)))
+
+    p, _ = cg_fixed(
+        s_apply, rhs_p, iters=iters_outer,
+        precond=lambda r: nu * (r / problem.mp_lumped),
+        deflate=True, deflate_weights=jnp.ones_like(rhs_p),
+    )
+    u = solveA(r_v - m * problem.bt_apply(p)) + problem.u_bc
+    return u, p
