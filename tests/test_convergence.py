@@ -74,3 +74,17 @@ def test_self_study_machinery_toy():
     assert len(rows) == 2
     assert rows[0]["err_vs_finest"] > rows[1]["err_vs_finest"] == 0.0
     assert all(np.isfinite(r["div_rel"]) for r in rows)
+
+
+def test_th_study_machinery_toy_with_sparse_reference(monkeypatch):
+    """run_th through both reference branches: forcing the dense ceiling
+    to 100 dofs makes every rung use th_sparse.steady_solve (the
+    beyond-dense-ceiling path of the --extended study)."""
+    from tpufem import convergence
+
+    monkeypatch.setattr(convergence, "DENSE_TH_DOF_CEIL", 100)
+    rows = convergence.run_th(
+        sizes=[("a", 16, 24), ("b", 24, 32)], steps0=30, check=False
+    )
+    assert len(rows) == 2
+    assert all(np.isfinite(r["err_vs_taylor_hood"]) for r in rows)
