@@ -203,6 +203,27 @@ def test_ns_matfree_long_run_is_stable(mesh21):
     assert mu[-1] < 1.0  # bounded channel flow
 
 
+def test_ns_host_loop_matches_scan(mesh21):
+    """run(host_loop=True) reproduces the scanned trajectory on both the
+    matfree and the dense path (the host loop is the tunneled-TPU form:
+    one dispatch per step instead of one multi-minute scanned program)."""
+    mf = ns.NSProblem.build(
+        mesh21, ns.NSConfig(dt=1e-4, solver="cg", cg_tol=1e-12,
+                            cg_iters_visc=150, cg_iters_pressure=400)
+    )
+    u_scan, _ = ns.run(mf, steps=8)
+    u_host, mets = ns.run(mf, steps=8, host_loop=True)
+    np.testing.assert_allclose(np.asarray(u_host), np.asarray(u_scan),
+                               atol=1e-12)
+    assert np.isfinite(float(mets["max_p"]))
+
+    dense = ns.NSProblem.build(mesh21, ns.NSConfig(dt=1e-4))
+    u_scan, _ = ns.run(dense, steps=5)
+    u_host, _ = ns.run(dense, steps=5, host_loop=True)
+    np.testing.assert_allclose(np.asarray(u_host), np.asarray(u_scan),
+                               atol=1e-12)
+
+
 def test_ns_f32_runs(mesh1):
     problem = ns.NSProblem.build(mesh1, ns.NSConfig(dt=1e-4, precision="f32"))
     u, metrics = ns.run(problem, steps=20)

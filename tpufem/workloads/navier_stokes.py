@@ -736,12 +736,44 @@ def ns_step(problem: NSProblem, u: jnp.ndarray):
 _RUN_CACHE: dict[tuple[int, int], Any] = {}
 
 
-def run(problem: NSProblem, steps: int | None = None):
-    """Scan the NS stepper; returns (u, metrics)."""
+def run(problem: NSProblem, steps: int | None = None,
+        host_loop: bool = False):
+    """Scan the NS stepper; returns (u, metrics).
+
+    ``host_loop=True`` drives one jitted step from a Python loop instead
+    of one scanned program (final-step metrics only, matching the
+    ``th_sparse.run`` convention).  Use it for large ``solver="cg"``
+    meshes on the sandbox's tunneled TPU: a many-step scanned f64
+    BiCGStab program is a multi-minute single dispatch, which the
+    tunnel runtime reproducibly kills (worker crash at 26k × 50 steps).
+    """
     cfg = problem.config
     n_steps = steps if steps is not None else cfg.steps
     dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
     u0 = jnp.zeros((problem.mesh.n_nodes, 2), dtype=dtype)
+
+    if host_loop:
+        key = (id(problem), -1)
+        hit = _RUN_CACHE.get(key)
+        if hit is not None and hit[0] is problem:
+            step = hit[1]
+        elif cfg.solver == "cg":
+            step = jax.jit(lambda u, p: _ns_step_matfree(problem, u, p))
+            _RUN_CACHE[key] = (problem, step)
+        else:
+            step = jax.jit(
+                lambda u, p: ns_step(problem, u) + (p,)
+            )  # (u, metrics, p) — dense path carries no pressure
+            _RUN_CACHE[key] = (problem, step)
+        u = u0
+        p = jnp.zeros(problem.mesh.n_nodes, dtype=dtype)
+        if cfg.solver == "cg":
+            for _ in range(n_steps):
+                u, p, mets = step(u, p)
+        else:
+            for _ in range(n_steps):
+                u, mets, p = step(u, p)
+        return u, mets
 
     key = (id(problem), n_steps)
     hit = _RUN_CACHE.get(key)
