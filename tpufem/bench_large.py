@@ -369,6 +369,95 @@ def run_th_sparse(
     }
 
 
+def run_ns(
+    n_side: int,
+    n_circle: int,
+    steps: int,
+    precision: str = "f32",
+    precond: str = "twolevel",
+):
+    """Timed matrix-free Navier–Stokes (implicit advection, BiCGStab
+    velocity + pinned two-level PCG pressure) at mesh sizes the
+    reference's per-step dense rebuild+solve cannot touch
+    (scripts/operator_spitting_ns.py:557-604 rebuilds and dense-solves an
+    N×N system every step).
+
+    f32-first: the f64 path is validated at 26k (benchmarks note in
+    TODO.md) but costs ~11 s/step on v5e's emulated f64 — the scaling
+    rows run f32.  host_loop always: a many-step scanned BiCGStab
+    program is a multi-minute single dispatch, which the tunneled TPU
+    runtime kills (reproduced; see ns.run docstring)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    enable_compile_cache()
+    import tpufem
+    from tpufem.ops import assembly, calculus
+    from tpufem.workloads import navier_stokes as ns
+
+    t0 = time.perf_counter()
+    # pad_hole: ring-in-grid numbering → stencil-offset SpMV (the fast
+    # accelerator form) for both K and the per-step C(u) refill
+    mesh = tpufem.generate_annulus_mesh(
+        n_side=n_side, n_circle=n_circle, pad_hole=True
+    )
+    cfg = ns.NSConfig(
+        dt=1e-4,
+        nu=1.0,
+        solver="cg",
+        precision=precision,
+        cg_precond=precond,
+        # identity-dominated viscous system at dt=1e-4 — a short fixed
+        # BiCGStab budget converges (residuals checked by the div gate)
+        cg_iters_visc=30,
+        cg_iters_pressure=120,
+        cg_tol=1e-5 if precision == "f32" else 1e-8,
+    )
+    prob = ns.NSProblem.build(mesh, cfg)
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    u, _ = ns.run(prob, steps=1, host_loop=True)
+    np.asarray(u)
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    u, mets = ns.run(prob, steps=steps, host_loop=True)
+    u_host = np.asarray(u, dtype=np.float64)
+    elapsed = time.perf_counter() - t0
+
+    assert np.isfinite(u_host).all(), "NS bench diverged (non-finite u)"
+    assert np.abs(u_host).max() < 5.0, "NS bench velocity blow-up"
+    import jax.numpy as jnp
+
+    div = np.asarray(
+        calculus.divergence(mesh, jnp.asarray(u)), dtype=np.float64
+    )
+    ml = np.asarray(assembly.lumped_mass(mesh), dtype=np.float64)
+    h = float(np.sqrt(2.0 * np.median(np.asarray(mesh.area))))
+    div_l2 = float(np.sqrt((ml * div**2).sum()))
+    u_l2 = float(np.sqrt((ml * (u_host**2).sum(axis=1)).sum()))
+    div_rel = div_l2 * h / max(u_l2, 1e-30)
+    assert div_rel < DIV_REL_GATE, (
+        f"NS normalized divergence {div_rel:.3f} ≥ {DIV_REL_GATE}"
+    )
+    return {
+        "workload": "navier_stokes",
+        "n_nodes": int(mesh.n_nodes),
+        "n_tris": int(mesh.n_tris),
+        "steps": steps,
+        "steps_per_sec": round(steps / elapsed, 2),
+        "precision": precision,
+        "precond": precond,
+        "storage": type(prob.K_csr).__name__,
+        "build_s": round(t_build, 1),
+        "compile_s": round(t_compile, 1),
+        "max_u": float(np.abs(u_host).max()),
+        "div_star_max": float(np.asarray(mets["div_star_max"])),
+        "div_rel": round(div_rel, 4),
+    }
+
+
 def main(argv=None):
     import argparse
 
@@ -391,6 +480,9 @@ def main(argv=None):
     parser.add_argument("--th", action="store_true",
                         help="sparse Taylor–Hood (Uzawa-CG) timed run + "
                              "same-mesh P1/P1 divergence comparison")
+    parser.add_argument("--ns", action="store_true",
+                        help="matrix-free Navier–Stokes (implicit "
+                             "advection) scaling rows instead of Stokes")
     parser.add_argument("--n-side", type=int, default=96,
                         help="--th mesh resolution (P2 dofs ≈ 4·n_side²)")
     parser.add_argument("--out", default=None, help="write JSONL here too")
@@ -402,6 +494,15 @@ def main(argv=None):
         r["label"] = f"th-{args.n_side}"
         print(json.dumps(r), flush=True)
         rows.append(r)
+    elif args.ns:
+        wanted = set(args.sizes.split(",")) if args.sizes else {"26k", "79k"}
+        for label, n_side, n_circle in SIZES:
+            if label not in wanted:
+                continue
+            r = run_ns(n_side, n_circle, args.steps, precond=args.precond)
+            r["label"] = f"ns-{label}"
+            print(json.dumps(r), flush=True)
+            rows.append(r)
     elif args.mesh:
         r = run_imported(args.mesh, args.steps, precond=args.precond,
                          transport=args.transport,
@@ -428,7 +529,7 @@ def main(argv=None):
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
-    if args.th:
+    if args.th or args.ns:
         return rows
     print("\n| nodes | steps/s | CG iters/s | div_rel | storage | compile (s) |")
     print("|---|---|---|---|---|---|")

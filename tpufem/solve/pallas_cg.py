@@ -151,7 +151,13 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 dma(g0 + 3, 1).start()
                 return Y
 
-            Y = jax.lax.fori_loop(0, E // 2, body, jnp.zeros_like(X))
+            # i32 bounds: under jax_enable_x64 Python-int bounds make the
+            # induction variable i64, but Mosaic lowers it as i32 — the
+            # body's `2 * i` then emits muli(i64, i32) and verification
+            # fails (TPU-only; interpret mode never sees Mosaic)
+            Y = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(E // 2), body, jnp.zeros_like(X)
+            )
             # drain the two run-ahead DMAs (planes E, E+1 — zero pads)
             dma(jnp.int32(E), 0).wait()
             dma(jnp.int32(E + 1), 1).wait()

@@ -106,11 +106,16 @@ class StokesConfig:
     # ceiling past 325k at the cost of n_off·N·4 streamed bytes per
     # matvec), "auto" = stream from 360k nodes up (the measured all-VMEM
     # ceiling sits between 325k and 410k — BASELINE.md round-3 table)
-    cg_stream_loop: str = "off"  # streamed kernels: "on" runs the DMA
+    cg_stream_loop: str = "auto"  # streamed kernels: run the DMA
     # pipeline as a fori_loop over ONE stacked HBM diag array (O(1)
-    # program size — cuts the 5–13 min Mosaic compiles at ≥800k nodes)
-    # instead of the n_off-unrolled chain; requires ns % 128 == 0 (tile-
-    # aligned plane slices) and silently falls back otherwise
+    # program size) instead of the n_off-unrolled chain.  Requires
+    # ns % 128 == 0 (tile-aligned plane slices); "auto" (default) uses
+    # the loop form whenever that holds — measured at 410k on v5e:
+    # bitwise-identical solution, 5.7× faster Mosaic compile (52.5 s vs
+    # 297.3 s), −3.8% steps/s (within tunnel drift;
+    # benchmarks/stream_loop_ab_r3.jsonl).  "on" forces it (interpret
+    # always; on device still falls back if ns % 128 != 0), "off" keeps
+    # the unrolled chain
     cg_coarse_nodes: int = 2048  # twolevel: target coarse-space size
     cg_coarse_dtype: str = "same"  # | "bf16": store the dense coarse
     # inverse in bfloat16 — halves the HBM bytes of the byte-dominant
@@ -608,7 +613,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
             config.cg_stream_diags == "on"
             or (config.cg_stream_diags == "auto" and mesh.n_nodes >= 360_000)
         )
-        sloop = config.cg_stream_loop == "on"
+        sloop = config.cg_stream_loop in ("on", "auto")
         try:
             Gv = GridOperator.build(K_csr, ns_grid, dtype=dtype)
             build_grid = Gv.coverage >= 0.9 or storage in ("grid", "grid_interpret")
