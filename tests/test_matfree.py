@@ -534,6 +534,29 @@ def test_stream_loop_interpret_matches_unrolled_stream():
     )
 
 
+def test_hbm_io_interpret_matches_streamed():
+    """XL mode (cg_hbm_io: HBM-resident b/x0/out + ref-carried CG,
+    _cg_core_ref) is bit-identical to the plain streamed form — the
+    arithmetic order is unchanged, only where state lives differs.
+    CPU twin of the ≥1.1M-node TPU regime (interpret emulates the HBM
+    refs + async copies)."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(solver="cg", cg_precond="twolevel",
+                cg_iters_visc=30, cg_iters_pressure=60, cg_warm_start=True,
+                cg_storage="grid_interpret", cg_stream_diags="on")
+    pg_xl = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_hbm_io="on", **base)
+    )
+    pg_off = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_hbm_io="off", **base)
+    )
+    assert pg_xl.visc_solver.hbm_io and pg_xl.pressure_solver.hbm_io
+    assert not pg_off.visc_solver.hbm_io
+    s_a, _ = stokes.run(pg_xl, steps=3)
+    s_b, _ = stokes.run(pg_off, steps=3)
+    np.testing.assert_array_equal(np.asarray(s_a["u"]), np.asarray(s_b["u"]))
+
+
 def test_fused_grid_step_matches_unfused():
     """GridStokesStep (the whole double-projection step in ONE kernel)
     reproduces the unfused grid-solver path.  Tolerance reflects CG

@@ -355,6 +355,7 @@ def run_th_sparse(
         "n1": int(prob.n1),
         "n2": int(prob.n2),
         "dofs": int(2 * prob.n2 + prob.n1),
+        "device": jax.default_backend(),
         "steps": steps,
         "steps_per_sec": round(steps / elapsed, 2),
         "precision": precision,
@@ -485,12 +486,19 @@ def main(argv=None):
                              "advection) scaling rows instead of Stokes")
     parser.add_argument("--n-side", type=int, default=96,
                         help="--th mesh resolution (P2 dofs ≈ 4·n_side²)")
+    parser.add_argument("--precision", default=None,
+                        help="--th/--ns precision override (f32 | f64). "
+                             "--th defaults to f64 (the parity precision); "
+                             "on the tunneled TPU even ONE f64 Uzawa step "
+                             "at n_side=96 is a multi-minute dispatch the "
+                             "runtime kills — the TPU-timed row runs f32")
     parser.add_argument("--out", default=None, help="write JSONL here too")
     args = parser.parse_args(argv)
 
     rows = []
     if args.th:
-        r = run_th_sparse(args.n_side, args.n_side, args.steps)
+        r = run_th_sparse(args.n_side, args.n_side, args.steps,
+                          precision=args.precision or "f64")
         r["label"] = f"th-{args.n_side}"
         print(json.dumps(r), flush=True)
         rows.append(r)
@@ -499,7 +507,8 @@ def main(argv=None):
         for label, n_side, n_circle in SIZES:
             if label not in wanted:
                 continue
-            r = run_ns(n_side, n_circle, args.steps, precond=args.precond)
+            r = run_ns(n_side, n_circle, args.steps, precond=args.precond,
+                       precision=args.precision or "f32")
             r["label"] = f"ns-{label}"
             print(json.dumps(r), flush=True)
             rows.append(r)

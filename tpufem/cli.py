@@ -127,6 +127,8 @@ def main(argv=None):
     s.add_argument("--th", action="store_true",
                    help="--large: sparse Taylor–Hood timed run + same-mesh "
                         "P1/P1 divergence comparison")
+    s.add_argument("--ns", action="store_true",
+                   help="--large: matrix-free Navier–Stokes scaling rows")
     s.add_argument("--n-side", type=int, default=96,
                    help="--large --th mesh resolution")
 
@@ -167,6 +169,8 @@ def main(argv=None):
                 bench_argv += ["--no-pad-hole"]
             if args.th:
                 bench_argv += ["--th", "--n-side", str(args.n_side)]
+            if args.ns:
+                bench_argv += ["--ns"]
             bench_large.main(bench_argv)
             return
         import bench

@@ -283,6 +283,61 @@ def _cg_core(matvec, precond, project, b, x0, iters: int, tol: float):
     return project(x)
 
 
+def _cg_core_ref(matvec, precond, project, cgx, cgr, cgp, iters, tol):
+    """``_cg_core`` with ref-resident state — bit-identical arithmetic
+    order, but x/r/p live in explicit VMEM scratch REFS and the CG loops
+    carry only scalars.  On entry ``cgx`` holds x0 and ``cgp`` holds b;
+    on exit ``cgx`` holds the projected solution.
+
+    Why: the SSA form's loop carries pin x/r/p/z plus matvec and
+    preconditioner temporaries live across every iteration, and Mosaic's
+    register allocator spills them (the ~90 MB spill mode measured on
+    the fused step kernel, VERDICT r2 #4 — fixed there with exactly this
+    restructure, solve/pallas_step.py cg_ref).  Here at most ~3 (ns, ns)
+    values are live between ref writes, which is what lets the
+    whole-solve kernels carry past ns=1024 (hbm_io mode)."""
+    cgp[:] = project(cgp[:])
+    atol2 = (tol * jnp.maximum(jnp.sqrt(jnp.sum(cgp[:] * cgp[:])), 1e-30)) ** 2
+    r0 = project(cgp[:] - matvec(cgx[:]))
+    cgr[:] = r0
+    z0 = project(precond(r0))
+    cgp[:] = z0
+    rz0 = jnp.sum(r0 * z0)
+    rr0 = jnp.sum(r0 * r0)
+
+    def advance(rz):
+        p_ = cgp[:]
+        Ap = project(matvec(p_))
+        denom = jnp.sum(p_ * Ap)
+        alpha = jnp.where(denom != 0, rz / denom, 0.0)
+        cgx[:] = cgx[:] + alpha * p_
+        r_ = cgr[:] - alpha * Ap
+        cgr[:] = r_
+        z = project(precond(r_))
+        rz_new = jnp.sum(r_ * z)
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+        cgp[:] = z + beta * cgp[:]
+        return rz_new, jnp.sum(r_ * r_)
+
+    if tol > 0:
+        def cond(st):
+            _, rr, k = st
+            return jnp.logical_and(k < iters, rr > atol2)
+
+        def wbody(st):
+            rz, _, k = st
+            rz, rr = advance(rz)
+            return (rz, rr, k + 1)
+
+        jax.lax.while_loop(cond, wbody, (rz0, rr0, jnp.int32(0)))
+    else:
+        def body(_, st):
+            return advance(st[0])
+
+        jax.lax.fori_loop(0, iters, body, (rz0, rr0))
+    cgx[:] = project(cgx[:])
+
+
 def _grid_of(v, ns):
     return v.reshape(ns, ns)
 
@@ -307,6 +362,13 @@ class ViscousGridCG:
     stream_diags: bool = False  # diag planes HBM-resident, DMA-streamed
     stream_loop: bool = False  # + fori_loop DMA pipeline over ONE stacked
     # HBM array (O(1) program size; needs ns % 128 == 0)
+    hbm_io: bool = False  # XL mode (≥~1.1M nodes): b/x0/out stay in HBM
+    # (DMA'd through 3 VMEM CG scratch planes) and the CG runs ref-carried
+    # (_cg_core_ref) — together they cut the kernel's VMEM demand from
+    # ~29 plane-equivalents (measured 117.3 MB at ns=1024) to ~12, which
+    # is what carries the whole-solve kernels past the 1.05M-node
+    # ceiling.  Requires stream_diags (the diag planes cannot be
+    # VMEM-resident at these sizes anyway).
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         m = self.interior_mask
@@ -323,6 +385,8 @@ class ViscousGridCG:
         # alignment constraint is hardware-only
         stream = self.stream_diags
         sloop = stream and self.stream_loop and (interpret or ns % 128 == 0)
+        hbm = self.hbm_io
+        assert not hbm or stream, "hbm_io requires stream_diags"
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
                               stream_loop=sloop)
         n_rest = K.n_rest
@@ -338,7 +402,9 @@ class ViscousGridCG:
         def kernel(*refs):
             # streamed layout: [sh, d_0..d_{n_off-1}, gr, gl, sr, sl,
             # vals, mask, invd, b, x0 | out | s0, s1, sem]; non-streamed
-            # and stream_loop use one stacked diags ref instead
+            # and stream_loop use one stacked diags ref instead; hbm_io
+            # appends [cgx, cgr, cgp, iosem] scratch and re-homes
+            # b/x0/out to HBM
             sh = refs[0]
             if stream and not sloop:
                 d = refs[1:1 + n_off]
@@ -348,6 +414,9 @@ class ViscousGridCG:
                 rest = refs[2:]
             gr, gl, sr, sl, vals, mask, invd, b, x0, out = rest[:10]
             scr = rest[10:]
+            if hbm:
+                cgx, cgr, cgp, iosem = scr[-4:]
+                scr = scr[:-4]
 
             def mv(X):
                 m = mask[:]
@@ -359,10 +428,24 @@ class ViscousGridCG:
                 return m * (X + dt_nu * KX) + (1.0 - m) * X
 
             ident = lambda v: v
+            jac = lambda r: invd[:] * r
+            if hbm:
+                from jax.experimental.pallas import tpu as pltpu
+
+                for c in range(b.shape[0]):
+                    cp_x = pltpu.make_async_copy(x0.at[c], cgx, iosem.at[0])
+                    cp_b = pltpu.make_async_copy(b.at[c], cgp, iosem.at[1])
+                    cp_x.start()
+                    cp_b.start()
+                    cp_x.wait()
+                    cp_b.wait()
+                    _cg_core_ref(mv, jac, ident, cgx, cgr, cgp, iters, tol)
+                    cp_o = pltpu.make_async_copy(cgx, out.at[c], iosem.at[0])
+                    cp_o.start()
+                    cp_o.wait()
+                return
             for c in range(b.shape[0]):
-                out[c] = _cg_core(
-                    mv, lambda r: invd[:] * r, ident, b[c], x0[c], iters, tol
-                )
+                out[c] = _cg_core(mv, jac, ident, b[c], x0[c], iters, tol)
 
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -395,12 +478,26 @@ class ViscousGridCG:
             diag_args = [K.diags]
             scratch_shapes = []
 
+        hbmspec = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
+        if hbm:
+            field_specs = [vmem() for _ in range(7)] + [hbmspec(), hbmspec()]
+            out_spec = hbmspec()
+            scratch_shapes = scratch_shapes + [
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            field_specs = [vmem() for _ in range(9)]
+            out_spec = vmem()
+
         def solve2(b_grid, x0_grid):
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(b_grid.shape, b_grid.dtype),
-                in_specs=[smem()] + diag_specs + [vmem() for _ in range(9)],
-                out_specs=vmem(),
+                in_specs=[smem()] + diag_specs + field_specs,
+                out_specs=out_spec,
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
@@ -479,6 +576,8 @@ class PressureGridCG:
     # kernel, dropping the ml/mmask/smask VMEM planes (the form the
     # streamed regime always uses); settable independently so the CPU
     # interpret tests cover the lean math without DMA streaming
+    hbm_io: bool = False  # XL mode: b/x0/out in HBM + ref-carried CG
+    # (see ViscousGridCG.hbm_io).  Requires stream_diags; implies lean.
 
     @classmethod
     def build(
@@ -497,6 +596,7 @@ class PressureGridCG:
         interpret: bool = False,
         stream_diags: bool = False,
         stream_loop: bool = False,
+        hbm_io: bool = False,
     ) -> "PressureGridCG":
         from tpufem.solve.cg import estimate_lmax
         from tpufem.solve.twolevel import coarse_inverse, galerkin_coarse
@@ -579,6 +679,7 @@ class PressureGridCG:
             use_coarse=use_coarse,
             stream_diags=stream_diags,
             stream_loop=stream_loop,
+            hbm_io=hbm_io,
         )
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -594,6 +695,8 @@ class PressureGridCG:
         use_coarse = self.use_coarse
         stream = self.stream_diags  # interpret emulates DMA (see above)
         sloop = stream and self.stream_loop and (interpret or ns % 128 == 0)
+        hbm = self.hbm_io
+        assert not hbm or stream, "hbm_io requires stream_diags"
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
                               stream_loop=sloop)
         n_rest = K.n_rest
@@ -625,6 +728,9 @@ class PressureGridCG:
                 (gr, gl, sr, sl, vals, act, invd, pr, prt, plm, plt,
                  acinv, fa, fat, fb, b, x0, out) = rest[:18]
                 scr = rest[18:]
+                if hbm:
+                    cgx, cgr, cgp, iosem = scr[-4:]
+                    scr = scr[:-4]
                 ml = mmask = smask = None
             else:
                 (gr, gl, sr, sl, vals, ml, act, mmask, smask, invd, pr,
@@ -667,6 +773,21 @@ class PressureGridCG:
 
             if lean:
                 # rhs prep and slave copyback happened outside (XLA)
+                if hbm:
+                    from jax.experimental.pallas import tpu as pltpu
+
+                    cp_x = pltpu.make_async_copy(x0, cgx, iosem.at[0])
+                    cp_b = pltpu.make_async_copy(b, cgp, iosem.at[1])
+                    cp_x.start()
+                    cp_b.start()
+                    cp_x.wait()
+                    cp_b.wait()
+                    _cg_core_ref(mv, precond, project, cgx, cgr, cgp,
+                                 iters, tol)
+                    cp_o = pltpu.make_async_copy(cgx, out, iosem.at[0])
+                    cp_o.start()
+                    cp_o.wait()
+                    return
                 out[:] = _cg_core(
                     mv, precond, project, b[:], x0[:], iters, tol
                 )
@@ -715,6 +836,20 @@ class PressureGridCG:
             scratch_shapes = []
 
         n_planes = 17 if lean else 20
+        assert not hbm or lean, "hbm_io requires the lean kernel form"
+        hbmspec = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
+        if hbm:
+            field_specs = [vmem() for _ in range(15)] + [hbmspec(), hbmspec()]
+            out_spec = hbmspec()
+            scratch_shapes = scratch_shapes + [
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            field_specs = [vmem() for _ in range(n_planes)]
+            out_spec = vmem()
 
         def _call(rhs_grid, x0_grid):
             args = [
@@ -738,9 +873,8 @@ class PressureGridCG:
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct((ns, ns), rhs_grid.dtype),
-                in_specs=[smem()] + diag_specs
-                + [vmem() for _ in range(n_planes)],
-                out_specs=vmem(),
+                in_specs=[smem()] + diag_specs + field_specs,
+                out_specs=out_spec,
                 scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(

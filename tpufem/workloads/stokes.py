@@ -116,6 +116,13 @@ class StokesConfig:
     # benchmarks/stream_loop_ab_r3.jsonl).  "on" forces it (interpret
     # always; on device still falls back if ns % 128 != 0), "off" keeps
     # the unrolled chain
+    cg_hbm_io: str = "auto"  # streamed kernels, XL regime: keep the
+    # solve's b/x0/out planes in HBM (DMA'd through 3 VMEM CG scratch
+    # planes) and run the CG ref-carried (_cg_core_ref: x/r/p in
+    # explicit VMEM scratch, scalar-only loop carries) — together they
+    # roughly halve the kernel's VMEM demand, carrying the whole-solve
+    # kernels past the 1.05M-node ceiling of round 3.  "auto" = on from
+    # 1.1M nodes; "on" forces it (requires/implies cg_stream_diags)
     cg_coarse_nodes: int = 2048  # twolevel: target coarse-space size
     cg_coarse_dtype: str = "same"  # | "bf16": store the dense coarse
     # inverse in bfloat16 — halves the HBM bytes of the byte-dominant
@@ -614,6 +621,10 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
             or (config.cg_stream_diags == "auto" and mesh.n_nodes >= 360_000)
         )
         sloop = config.cg_stream_loop in ("on", "auto")
+        hbm_io = config.cg_hbm_io == "on" or (
+            config.cg_hbm_io == "auto" and mesh.n_nodes >= 1_100_000
+        )
+        stream = stream or hbm_io  # XL mode streams by construction
         try:
             Gv = GridOperator.build(K_csr, ns_grid, dtype=dtype)
             build_grid = Gv.coverage >= 0.9 or storage in ("grid", "grid_interpret")
@@ -627,6 +638,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     interpret=interpret,
                     stream_diags=stream,
                     stream_loop=sloop,
+                    hbm_io=hbm_io,
                 )
                 owner = pressure_owner_map(
                     mesh.n_nodes, boundary.masters, boundary.slaves
@@ -655,6 +667,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     interpret=interpret,
                     stream_diags=stream,
                     stream_loop=sloop,
+                    hbm_io=hbm_io,
                 )
                 dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
                 return visc, pressure, materialize(dx_csr), materialize(dy_csr), {}
