@@ -40,7 +40,15 @@ SIZES = [
     ("160k", 400, 448),
     ("410k", 640, 720),
     ("518k", 720, 800),
+    ("803k", 896, 960),
+    ("1.05M", 1024, 1088),
+    ("1.64M", 1280, 1344),
+    ("2M", 1408, 1472),
 ]
+
+# ≥400k rows are opt-in VMEM-ceiling / XL-regime probes, excluded from
+# the default sweep (cold Mosaic compiles at these sizes run minutes)
+LARGE_OPT_IN = {"410k", "518k", "803k", "1.05M", "1.64M", "2M"}
 
 # normalized divergence ceiling: measured plateaus sit at 0.05–0.30
 # across 2k–160k (see benchmarks/large_r3.jsonl); 1.0 flags a physically
@@ -53,6 +61,7 @@ def bench_config(
     n_nodes: int = 0,
     transport: str = "none",
     storage: str = "auto",
+    hbm_io: str = "auto",
 ):
     from tpufem.workloads import stokes
 
@@ -91,6 +100,7 @@ def bench_config(
         # it at full MXU rate and halves its VMEM footprint (iteration
         # counts unchanged; it's a preconditioner)
         cg_coarse_dtype="bf16",
+        cg_hbm_io=hbm_io,
     )
 
 
@@ -203,6 +213,7 @@ def run_one(
     transport: str = "none",
     storage: str = "auto",
     pad_hole: bool = True,
+    hbm_io: str = "auto",
 ):
     import jax
 
@@ -219,7 +230,7 @@ def run_one(
     )
     config = bench_config(
         precond, n_nodes=int(mesh.n_nodes), transport=transport,
-        storage=storage,
+        storage=storage, hbm_io=hbm_io,
     )
     problem = stokes.StokesProblem.build(mesh, config)
     t_build = time.perf_counter() - t0
@@ -250,7 +261,7 @@ def run_imported(
     mesh = tpufem.load_mesh(path)
     config = bench_config(
         precond, n_nodes=int(mesh.n_nodes), transport=transport,
-        storage=storage,
+        storage=storage, hbm_io=hbm_io,
     )
     problem = stokes.StokesProblem.build(mesh, config)
     t_build = time.perf_counter() - t0
@@ -492,6 +503,8 @@ def main(argv=None):
                              "on the tunneled TPU even ONE f64 Uzawa step "
                              "at n_side=96 is a multi-minute dispatch the "
                              "runtime kills — the TPU-timed row runs f32")
+    parser.add_argument("--hbm-io", default="auto",
+                        help="cg_hbm_io: auto | on | off (XL kernel mode)")
     parser.add_argument("--out", default=None, help="write JSONL here too")
     args = parser.parse_args(argv)
 
@@ -524,11 +537,11 @@ def main(argv=None):
         for label, n_side, n_circle in SIZES:
             if wanted is not None and label not in wanted:
                 continue
-            if wanted is None and label in ("410k", "518k"):
+            if wanted is None and label in LARGE_OPT_IN:
                 continue  # the ≥400k rows are opt-in (VMEM-ceiling probes)
             r = run_one(n_side, n_circle, args.steps, precond=args.precond,
                         transport=args.transport, storage=args.storage,
-                        pad_hole=not args.no_pad_hole)
+                        pad_hole=not args.no_pad_hole, hbm_io=args.hbm_io)
             r["label"] = label
             print(json.dumps(r), flush=True)
             rows.append(r)
