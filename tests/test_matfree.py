@@ -534,16 +534,19 @@ def test_stream_loop_interpret_matches_unrolled_stream():
     )
 
 
-def test_hbm_io_interpret_matches_streamed():
+@pytest.mark.parametrize("sloop", ["auto", "off"])
+def test_hbm_io_interpret_matches_streamed(sloop):
     """XL mode (cg_hbm_io: HBM-resident b/x0/out + ref-carried CG,
     _cg_core_ref) is bit-identical to the plain streamed form — the
     arithmetic order is unchanged, only where state lives differs.
     CPU twin of the ≥1.1M-node TPU regime (interpret emulates the HBM
-    refs + async copies)."""
+    refs + async copies); covered over both DMA pipeline forms (the
+    fori_loop stacked-plane form and the unrolled chain)."""
     mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
     base = dict(solver="cg", cg_precond="twolevel",
                 cg_iters_visc=30, cg_iters_pressure=60, cg_warm_start=True,
-                cg_storage="grid_interpret", cg_stream_diags="on")
+                cg_storage="grid_interpret", cg_stream_diags="on",
+                cg_stream_loop=sloop)
     pg_xl = stokes.StokesProblem.build(
         mesh, stokes.StokesConfig(cg_hbm_io="on", **base)
     )
