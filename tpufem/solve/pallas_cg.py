@@ -433,14 +433,14 @@ class ViscousGridCG:
                 from jax.experimental.pallas import tpu as pltpu
 
                 for c in range(b.shape[0]):
-                    cp_x = pltpu.make_async_copy(x0.at[c], cgx, iosem.at[0])
-                    cp_b = pltpu.make_async_copy(b.at[c], cgp, iosem.at[1])
+                    cp_x = pltpu.make_async_copy(x0.at[c], cgx, iosem.at[jnp.int32(0)])
+                    cp_b = pltpu.make_async_copy(b.at[c], cgp, iosem.at[jnp.int32(1)])
                     cp_x.start()
                     cp_b.start()
                     cp_x.wait()
                     cp_b.wait()
                     _cg_core_ref(mv, jac, ident, cgx, cgr, cgp, iters, tol)
-                    cp_o = pltpu.make_async_copy(cgx, out.at[c], iosem.at[0])
+                    cp_o = pltpu.make_async_copy(cgx, out.at[c], iosem.at[jnp.int32(0)])
                     cp_o.start()
                     cp_o.wait()
                 return
@@ -776,15 +776,15 @@ class PressureGridCG:
                 if hbm:
                     from jax.experimental.pallas import tpu as pltpu
 
-                    cp_x = pltpu.make_async_copy(x0, cgx, iosem.at[0])
-                    cp_b = pltpu.make_async_copy(b, cgp, iosem.at[1])
+                    cp_x = pltpu.make_async_copy(x0, cgx, iosem.at[jnp.int32(0)])
+                    cp_b = pltpu.make_async_copy(b, cgp, iosem.at[jnp.int32(1)])
                     cp_x.start()
                     cp_b.start()
                     cp_x.wait()
                     cp_b.wait()
                     _cg_core_ref(mv, precond, project, cgx, cgr, cgp,
                                  iters, tol)
-                    cp_o = pltpu.make_async_copy(cgx, out, iosem.at[0])
+                    cp_o = pltpu.make_async_copy(cgx, out, iosem.at[jnp.int32(0)])
                     cp_o.start()
                     cp_o.wait()
                     return
