@@ -433,14 +433,20 @@ class ViscousGridCG:
                 from jax.experimental.pallas import tpu as pltpu
 
                 for c in range(b.shape[0]):
-                    cp_x = pltpu.make_async_copy(x0.at[c], cgx, iosem.at[jnp.int32(0)])
-                    cp_b = pltpu.make_async_copy(b.at[c], cgp, iosem.at[jnp.int32(1)])
+                    # i32 plane index: a python int traces as i64 under
+                    # x64 mode and tpu.memref_slice rejects it
+                    ci = jnp.int32(c)
+                    cp_x = pltpu.make_async_copy(x0.at[ci], cgx,
+                                                 iosem.at[jnp.int32(0)])
+                    cp_b = pltpu.make_async_copy(b.at[ci], cgp,
+                                                 iosem.at[jnp.int32(1)])
                     cp_x.start()
                     cp_b.start()
                     cp_x.wait()
                     cp_b.wait()
                     _cg_core_ref(mv, jac, ident, cgx, cgr, cgp, iters, tol)
-                    cp_o = pltpu.make_async_copy(cgx, out.at[c], iosem.at[jnp.int32(0)])
+                    cp_o = pltpu.make_async_copy(cgx, out.at[ci],
+                                                 iosem.at[jnp.int32(0)])
                     cp_o.start()
                     cp_o.wait()
                 return
