@@ -1260,6 +1260,11 @@ def _inject_arrays(obj, flat: dict, path: str = ""):
 
 _RUN_CACHE: dict[tuple[int, int], Any] = {}
 
+_ARGS_PAYLOAD_BYTES = 256 * 2**20  # operator-array bytes above which the
+# plain scan passes them as jit ARGUMENTS instead of closure constants
+# (the serialized-literal form exceeds the axon remote compiler's
+# request-body limit — HTTP 413 measured at ns=1280)
+
 
 def run(problem: StokesProblem, steps: int | None = None, state: dict | None = None):
     """Run the simulation as one jitted scan; returns (state, metrics).
@@ -1306,15 +1311,35 @@ def run(problem: StokesProblem, steps: int | None = None, state: dict | None = N
         scan_all = lambda state: _scan_args(state, op_arrays)
         _RUN_CACHE[key] = (problem, scan_all)
     else:
-        step = make_step(problem)
+        op_arrays = _extract_arrays(problem)
+        payload = sum(a.size * a.dtype.itemsize for a in op_arrays.values())
+        if payload >= _ARGS_PAYLOAD_BYTES:
+            # XL regime (~1.6M+ nodes): baked closure constants put the
+            # operator arrays INSIDE the serialized HLO, and the axon
+            # remote compiler rejects the request body outright
+            # (HTTP 413 at ns=1280, ~350 MB of literals) — pass them as
+            # jit arguments.  Below the threshold closures stay: ~25%
+            # faster steady-state execution (measured round 2) and the
+            # 1.05M configuration is known-good as literals.
+            @jax.jit
+            def _scan_plain_args(state, ops):
+                p2 = _inject_arrays(problem, ops)
+                return jax.lax.scan(
+                    make_step(p2), state, None, length=n_steps
+                )
 
-        @jax.jit
-        def scan_all(state):
-            # operators stay closure constants here: ~25% faster steady-state
-            # execution than argument-passing, at the cost of a slower
-            # one-time compile (entry()'s compile-check path uses
-            # _extract_arrays/_inject_arrays instead)
-            return jax.lax.scan(step, state, None, length=n_steps)
+            scan_all = lambda state: _scan_plain_args(state, op_arrays)
+        else:
+            step = make_step(problem)
+
+            @jax.jit
+            def scan_all(state):
+                # operators stay closure constants here: ~25% faster
+                # steady-state execution than argument-passing, at the
+                # cost of a slower one-time compile (entry()'s
+                # compile-check path uses _extract_arrays/_inject_arrays
+                # instead)
+                return jax.lax.scan(step, state, None, length=n_steps)
 
         _RUN_CACHE[key] = (problem, scan_all)
 
