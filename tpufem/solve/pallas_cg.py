@@ -109,11 +109,21 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
     loop = stream or len(offsets) >= _LOOP_OFFSETS_FROM
 
     def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int,
-              sh=None, scratch=None, sem=None):
+              sh=None, scratch=None, sem=None, acc=None):
         """``sh``: (2, n_off) int32 SMEM ref of (row, lane) roll shifts —
         required when the loop form is active (Pallas kernels cannot
         capture array constants).  ``scratch``/``sem``: (2, ns, ns) VMEM
-        buffer + DMA semaphore pair, required when ``stream``."""
+        buffer + DMA semaphore pair, required when ``stream``.
+
+        ``acc``: optional VMEM ref — the REF-ACCUMULATED form: partial
+        sums are written into ``acc`` instead of carried as SSA values,
+        so the DMA-pipeline fori_loop carries NO plane at all (scalar
+        dummy).  SSA loop carries are what Mosaic's register allocator
+        spills at XL sizes (measured 78 MB of spill slots at ns=1280
+        with the value-carried form); the acc form is the XL-mode
+        matvec.  Returns the SSA value when ``acc is None`` else None."""
+        if acc is not None:
+            acc[:] = jnp.zeros(acc.shape, acc.dtype)
         if stream and stream_loop:
             # Dynamic-plane double-buffer: ``d`` is ONE stacked
             # (_pad_even(n_off), ns, ns) HBM ref, the pipeline a fori_loop
@@ -141,23 +151,38 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
             dma(jnp.int32(0), 0).start()
             dma(jnp.int32(1), 1).start()
 
-            def body(i, Y):
-                g0 = 2 * i
-                dma(g0, 0).wait()
-                Y = Y + scratch[0][:] * roll_g(g0)
-                dma(g0 + 2, 0).start()
-                dma(g0 + 1, 1).wait()
-                Y = Y + scratch[1][:] * roll_g(g0 + 1)
-                dma(g0 + 3, 1).start()
-                return Y
+            if acc is None:
+                def body(i, Y):
+                    g0 = 2 * i
+                    dma(g0, 0).wait()
+                    Y = Y + scratch[0][:] * roll_g(g0)
+                    dma(g0 + 2, 0).start()
+                    dma(g0 + 1, 1).wait()
+                    Y = Y + scratch[1][:] * roll_g(g0 + 1)
+                    dma(g0 + 3, 1).start()
+                    return Y
 
-            # i32 bounds: under jax_enable_x64 Python-int bounds make the
-            # induction variable i64, but Mosaic lowers it as i32 — the
-            # body's `2 * i` then emits muli(i64, i32) and verification
-            # fails (TPU-only; interpret mode never sees Mosaic)
-            Y = jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(E // 2), body, jnp.zeros_like(X)
-            )
+                # i32 bounds: under jax_enable_x64 Python-int bounds make
+                # the induction variable i64, but Mosaic lowers it as i32
+                # — the body's `2 * i` then emits muli(i64, i32) and
+                # verification fails (TPU-only; interpret never sees it)
+                Y = jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(E // 2), body, jnp.zeros_like(X)
+                )
+            else:
+                def body_acc(i, c):
+                    g0 = 2 * i
+                    dma(g0, 0).wait()
+                    acc[:] = acc[:] + scratch[0][:] * roll_g(g0)
+                    dma(g0 + 2, 0).start()
+                    dma(g0 + 1, 1).wait()
+                    acc[:] = acc[:] + scratch[1][:] * roll_g(g0 + 1)
+                    dma(g0 + 3, 1).start()
+                    return c
+
+                jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(E // 2), body_acc, jnp.int32(0)
+                )
             # drain the two run-ahead DMAs (planes E, E+1 — zero pads)
             dma(jnp.int32(E), 0).wait()
             dma(jnp.int32(E + 1), 1).wait()
@@ -179,39 +204,61 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 )
 
             get_dma(0, 0).start()
-            Y = jnp.zeros_like(X)
+            Y = None if acc is not None else jnp.zeros_like(X)
             for g, (dy, s) in enumerate(offsets):
                 slot = g % 2
                 if g + 1 < n_off:
                     get_dma((g + 1) % 2, g + 1).start()
                 get_dma(slot, g).wait()
-                Y = Y + scratch[slot][:] * _roll2(X, dy, s, ns, interpret)
+                term = scratch[slot][:] * _roll2(X, dy, s, ns, interpret)
+                if acc is not None:
+                    acc[:] = acc[:] + term
+                else:
+                    Y = Y + term
         elif loop:
             assert sh is not None, "loop-form apply needs the shift ref"
 
-            def body(g, Y):
+            def rolled(g):
                 if interpret:
-                    Xr = jnp.roll(jnp.roll(X, sh[0, g], -2), sh[1, g], -1)
-                else:
-                    from jax.experimental.pallas import tpu as pltpu
+                    return jnp.roll(jnp.roll(X, sh[0, g], -2), sh[1, g], -1)
+                from jax.experimental.pallas import tpu as pltpu
 
-                    Xr = pltpu.roll(
-                        pltpu.roll(X, sh[0, g], X.ndim - 2), sh[1, g],
-                        X.ndim - 1,
-                    )
-                return Y + d[g] * Xr
+                return pltpu.roll(
+                    pltpu.roll(X, sh[0, g], X.ndim - 2), sh[1, g],
+                    X.ndim - 1,
+                )
 
-            Y = jax.lax.fori_loop(0, len(offsets), body, jnp.zeros_like(X))
+            if acc is None:
+                Y = jax.lax.fori_loop(
+                    0, len(offsets), lambda g, Y: Y + d[g] * rolled(g),
+                    jnp.zeros_like(X),
+                )
+            else:
+                def body_acc(g, c):
+                    acc[:] = acc[:] + d[g] * rolled(g)
+                    return c
+
+                jax.lax.fori_loop(0, len(offsets), body_acc, jnp.int32(0))
         else:
-            Y = jnp.zeros_like(X)
+            Y = None if acc is not None else jnp.zeros_like(X)
             for g, (dy, s) in enumerate(offsets):
-                Y = Y + d[g] * _roll2(X, dy, s, ns, interpret)
+                term = d[g] * _roll2(X, dy, s, ns, interpret)
+                if acc is not None:
+                    acc[:] = acc[:] + term
+                else:
+                    Y = Y + term
         if n_rest:
             T = jnp.dot(gr_rowT[:], X, preferred_element_type=jnp.float32)
             xs = jnp.sum(T * gr_laneT[:], axis=1, keepdims=True)  # (Mp, 1)
             w = vals[:] * xs
-            Y = Y + jnp.dot(sc_row[:], w * sc_laneT[:],
-                            preferred_element_type=jnp.float32)
+            rest = jnp.dot(sc_row[:], w * sc_laneT[:],
+                           preferred_element_type=jnp.float32)
+            if acc is not None:
+                acc[:] = acc[:] + rest
+            else:
+                Y = Y + rest
+        if acc is not None:
+            return None
         return Y
 
     return apply
@@ -283,41 +330,47 @@ def _cg_core(matvec, precond, project, b, x0, iters: int, tol: float):
     return project(x)
 
 
-def _cg_core_ref(matvec, precond, project, cgx, cgr, cgp, iters, tol):
-    """``_cg_core`` with ref-resident state — bit-identical arithmetic
-    order, but x/r/p live in explicit VMEM scratch REFS and the CG loops
-    carry only scalars.  On entry ``cgx`` holds x0 and ``cgp`` holds b;
-    on exit ``cgx`` holds the projected solution.
+def _cg_core_ref(mv_into, z_into, project_ref, cgx, cgr, cgp, cgt,
+                 iters, tol):
+    """``_cg_core`` with FULLY ref-resident state — same arithmetic
+    order (bit-identical in interpret mode), but x/r/p/Ap/z all live in
+    explicit VMEM scratch refs, the matvec accumulates into a ref
+    (``apply(..., acc=)``), and the CG loops carry only scalars.
 
     Why: the SSA form's loop carries pin x/r/p/z plus matvec and
     preconditioner temporaries live across every iteration, and Mosaic's
-    register allocator spills them (the ~90 MB spill mode measured on
-    the fused step kernel, VERDICT r2 #4 — fixed there with exactly this
-    restructure, solve/pallas_step.py cg_ref).  Here at most ~3 (ns, ns)
-    values are live between ref writes, which is what lets the
-    whole-solve kernels carry past ns=1024 (hbm_io mode)."""
-    cgp[:] = project(cgp[:])
+    register allocator spills them (~90 MB on the fused step kernel,
+    VERDICT r2 #4; 78 MB measured on the value-carried viscous XL kernel
+    at ns=1280).  Here no plane crosses a loop boundary as a value.
+
+    Contracts: on entry ``cgx`` holds x0 and ``cgp`` holds b; on exit
+    ``cgx`` holds the projected solution.  ``mv_into(dst, Xv)`` writes
+    the RAW operator application A·Xv into ``dst``; ``z_into()`` writes
+    z = project(precond(r)) into a solver-owned scratch ref (it may use
+    ``cgt``) and returns that ref; ``project_ref(ref)`` projects in
+    place (identity for the viscous solve)."""
+    project_ref(cgp)
     atol2 = (tol * jnp.maximum(jnp.sqrt(jnp.sum(cgp[:] * cgp[:])), 1e-30)) ** 2
-    r0 = project(cgp[:] - matvec(cgx[:]))
-    cgr[:] = r0
-    z0 = project(precond(r0))
-    cgp[:] = z0
-    rz0 = jnp.sum(r0 * z0)
-    rr0 = jnp.sum(r0 * r0)
+    mv_into(cgt, cgx[:])
+    cgr[:] = cgp[:] - cgt[:]
+    project_ref(cgr)
+    z0 = z_into()
+    rz0 = jnp.sum(cgr[:] * z0[:])
+    rr0 = jnp.sum(cgr[:] * cgr[:])
+    cgp[:] = z0[:]
 
     def advance(rz):
-        p_ = cgp[:]
-        Ap = project(matvec(p_))
-        denom = jnp.sum(p_ * Ap)
+        mv_into(cgt, cgp[:])
+        project_ref(cgt)
+        denom = jnp.sum(cgp[:] * cgt[:])
         alpha = jnp.where(denom != 0, rz / denom, 0.0)
-        cgx[:] = cgx[:] + alpha * p_
-        r_ = cgr[:] - alpha * Ap
-        cgr[:] = r_
-        z = project(precond(r_))
-        rz_new = jnp.sum(r_ * z)
+        cgx[:] = cgx[:] + alpha * cgp[:]
+        cgr[:] = cgr[:] - alpha * cgt[:]
+        z = z_into()
+        rz_new = jnp.sum(cgr[:] * z[:])
         beta = jnp.where(rz != 0, rz_new / rz, 0.0)
-        cgp[:] = z + beta * cgp[:]
-        return rz_new, jnp.sum(r_ * r_)
+        cgp[:] = z[:] + beta * cgp[:]
+        return rz_new, jnp.sum(cgr[:] * cgr[:])
 
     if tol > 0:
         def cond(st):
@@ -335,7 +388,7 @@ def _cg_core_ref(matvec, precond, project, cgx, cgr, cgp, iters, tol):
             return advance(st[0])
 
         jax.lax.fori_loop(0, iters, body, (rz0, rr0))
-    cgx[:] = project(cgx[:])
+    project_ref(cgx)
 
 
 def _grid_of(v, ns):
@@ -415,8 +468,8 @@ class ViscousGridCG:
             gr, gl, sr, sl, vals, mask, invd, b, x0, out = rest[:10]
             scr = rest[10:]
             if hbm:
-                cgx, cgr, cgp, iosem = scr[-4:]
-                scr = scr[:-4]
+                cgx, cgr, cgp, cgt, iosem = scr[-5:]
+                scr = scr[:-5]
 
             def mv(X):
                 m = mask[:]
@@ -432,6 +485,21 @@ class ViscousGridCG:
             if hbm:
                 from jax.experimental.pallas import tpu as pltpu
 
+                def mv_into(dst, Xv):
+                    m = mask[:]
+                    apply_K(
+                        d, gr, gl, sr, sl, vals, m * Xv, n_rest, sh=sh,
+                        scratch=scr[:2] if scr else None,
+                        sem=scr[2] if scr else None, acc=dst,
+                    )
+                    dst[:] = m * (Xv + dt_nu * dst[:]) + (1.0 - m) * Xv
+
+                def z_into():
+                    cgt[:] = invd[:] * cgr[:]
+                    return cgt
+
+                ident_ref = lambda ref: None
+
                 for c in range(b.shape[0]):
                     # i32 plane index: a python int traces as i64 under
                     # x64 mode and tpu.memref_slice rejects it
@@ -444,7 +512,8 @@ class ViscousGridCG:
                     cp_b.start()
                     cp_x.wait()
                     cp_b.wait()
-                    _cg_core_ref(mv, jac, ident, cgx, cgr, cgp, iters, tol)
+                    _cg_core_ref(mv_into, z_into, ident_ref,
+                                 cgx, cgr, cgp, cgt, iters, tol)
                     cp_o = pltpu.make_async_copy(cgx, out.at[ci],
                                                  iosem.at[jnp.int32(0)])
                     cp_o.start()
@@ -489,9 +558,10 @@ class ViscousGridCG:
             field_specs = [vmem() for _ in range(7)] + [hbmspec(), hbmspec()]
             out_spec = hbmspec()
             scratch_shapes = scratch_shapes + [
-                pltpu.VMEM((ns, ns), K.diags.dtype),
-                pltpu.VMEM((ns, ns), K.diags.dtype),
-                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),  # cgx
+                pltpu.VMEM((ns, ns), K.diags.dtype),  # cgr
+                pltpu.VMEM((ns, ns), K.diags.dtype),  # cgp
+                pltpu.VMEM((ns, ns), K.diags.dtype),  # cgt (Ap / z)
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
@@ -735,8 +805,8 @@ class PressureGridCG:
                  acinv, fa, fat, fb, b, x0, out) = rest[:18]
                 scr = rest[18:]
                 if hbm:
-                    cgx, cgr, cgp, iosem = scr[-4:]
-                    scr = scr[:-4]
+                    cgx, cgr, cgp, cgt, cgz, iosem = scr[-6:]
+                    scr = scr[:-6]
                 ml = mmask = smask = None
             else:
                 (gr, gl, sr, sl, vals, ml, act, mmask, smask, invd, pr,
@@ -782,14 +852,40 @@ class PressureGridCG:
                 if hbm:
                     from jax.experimental.pallas import tpu as pltpu
 
+                    def mv_into(dst, Xv):
+                        apply_K(
+                            d, gr, gl, sr, sl, vals, Xv, n_rest, sh=sh,
+                            scratch=scr[:2] if scr else None,
+                            sem=scr[2] if scr else None, acc=dst,
+                        )
+
+                    def project_ref(ref):
+                        a = act[:]
+                        ref[:] = ref[:] - (jnp.sum(a * ref[:]) / ww) * a
+
+                    def z_into():
+                        if not use_coarse:
+                            cgz[:] = invd[:] * cgr[:]
+                        else:
+                            cgz[:] = omega * (invd[:] * cgr[:])  # z1
+                            mv_into(cgt, cgz[:])
+                            cgt[:] = cgr[:] - cgt[:]
+                            cgz[:] = cgz[:] + coarse(cgt[:])     # z2
+                            mv_into(cgt, cgz[:])
+                            cgz[:] = cgz[:] + omega * (
+                                invd[:] * (cgr[:] - cgt[:])
+                            )
+                        project_ref(cgz)
+                        return cgz
+
                     cp_x = pltpu.make_async_copy(x0, cgx, iosem.at[jnp.int32(0)])
                     cp_b = pltpu.make_async_copy(b, cgp, iosem.at[jnp.int32(1)])
                     cp_x.start()
                     cp_b.start()
                     cp_x.wait()
                     cp_b.wait()
-                    _cg_core_ref(mv, precond, project, cgx, cgr, cgp,
-                                 iters, tol)
+                    _cg_core_ref(mv_into, z_into, project_ref,
+                                 cgx, cgr, cgp, cgt, iters, tol)
                     cp_o = pltpu.make_async_copy(cgx, out, iosem.at[jnp.int32(0)])
                     cp_o.start()
                     cp_o.wait()
@@ -848,9 +944,11 @@ class PressureGridCG:
             field_specs = [vmem() for _ in range(15)] + [hbmspec(), hbmspec()]
             out_spec = hbmspec()
             scratch_shapes = scratch_shapes + [
-                pltpu.VMEM((ns, ns), K.diags.dtype),
-                pltpu.VMEM((ns, ns), K.diags.dtype),
-                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM((ns, ns), K.diags.dtype),  # cgx
+                pltpu.VMEM((ns, ns), K.diags.dtype),  # cgr
+                pltpu.VMEM((ns, ns), K.diags.dtype),  # cgp
+                pltpu.VMEM((ns, ns), K.diags.dtype),  # cgt (Ap / t)
+                pltpu.VMEM((ns, ns), K.diags.dtype),  # cgz (z1/z2/z)
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
