@@ -109,7 +109,7 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
     loop = stream or len(offsets) >= _LOOP_OFFSETS_FROM
 
     def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int,
-              sh=None, scratch=None, sem=None, acc=None):
+              sh=None, scratch=None, sem=None, acc=None, x_ref=None):
         """``sh``: (2, n_off) int32 SMEM ref of (row, lane) roll shifts —
         required when the loop form is active (Pallas kernels cannot
         capture array constants).  ``scratch``/``sem``: (2, ns, ns) VMEM
@@ -121,9 +121,16 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
         dummy).  SSA loop carries are what Mosaic's register allocator
         spills at XL sizes (measured 78 MB of spill slots at ns=1280
         with the value-carried form); the acc form is the XL-mode
-        matvec.  Returns the SSA value when ``acc is None`` else None."""
+        matvec.  Returns the SSA value when ``acc is None`` else None.
+
+        ``x_ref``: optional VMEM ref to read the source vector from PER
+        USE instead of holding the SSA value ``X`` live across the whole
+        pipeline loop (the other spill source at XL sizes: a full-plane
+        value live across a fori_loop gets a dedicated spill slot).
+        Must not alias ``acc``."""
         if acc is not None:
             acc[:] = jnp.zeros(acc.shape, acc.dtype)
+        rd = (lambda: x_ref[:]) if x_ref is not None else (lambda: X)
         if stream and stream_loop:
             # Dynamic-plane double-buffer: ``d`` is ONE stacked
             # (_pad_even(n_off), ns, ns) HBM ref, the pipeline a fori_loop
@@ -142,10 +149,12 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 )
 
             def roll_g(g):
+                Xv = rd()
                 if interpret:
-                    return jnp.roll(jnp.roll(X, sh[0, g], -2), sh[1, g], -1)
+                    return jnp.roll(jnp.roll(Xv, sh[0, g], -2), sh[1, g], -1)
                 return pltpu.roll(
-                    pltpu.roll(X, sh[0, g], X.ndim - 2), sh[1, g], X.ndim - 1
+                    pltpu.roll(Xv, sh[0, g], Xv.ndim - 2), sh[1, g],
+                    Xv.ndim - 1,
                 )
 
             dma(jnp.int32(0), 0).start()
@@ -167,7 +176,7 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 # — the body's `2 * i` then emits muli(i64, i32) and
                 # verification fails (TPU-only; interpret never sees it)
                 Y = jax.lax.fori_loop(
-                    jnp.int32(0), jnp.int32(E // 2), body, jnp.zeros_like(X)
+                    jnp.int32(0), jnp.int32(E // 2), body, jnp.zeros_like(rd())
                 )
             else:
                 def body_acc(i, c):
@@ -204,13 +213,13 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 )
 
             get_dma(0, 0).start()
-            Y = None if acc is not None else jnp.zeros_like(X)
+            Y = None if acc is not None else jnp.zeros_like(rd())
             for g, (dy, s) in enumerate(offsets):
                 slot = g % 2
                 if g + 1 < n_off:
                     get_dma((g + 1) % 2, g + 1).start()
                 get_dma(slot, g).wait()
-                term = scratch[slot][:] * _roll2(X, dy, s, ns, interpret)
+                term = scratch[slot][:] * _roll2(rd(), dy, s, ns, interpret)
                 if acc is not None:
                     acc[:] = acc[:] + term
                 else:
@@ -219,19 +228,20 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
             assert sh is not None, "loop-form apply needs the shift ref"
 
             def rolled(g):
+                Xv = rd()
                 if interpret:
-                    return jnp.roll(jnp.roll(X, sh[0, g], -2), sh[1, g], -1)
+                    return jnp.roll(jnp.roll(Xv, sh[0, g], -2), sh[1, g], -1)
                 from jax.experimental.pallas import tpu as pltpu
 
                 return pltpu.roll(
-                    pltpu.roll(X, sh[0, g], X.ndim - 2), sh[1, g],
-                    X.ndim - 1,
+                    pltpu.roll(Xv, sh[0, g], Xv.ndim - 2), sh[1, g],
+                    Xv.ndim - 1,
                 )
 
             if acc is None:
                 Y = jax.lax.fori_loop(
                     0, len(offsets), lambda g, Y: Y + d[g] * rolled(g),
-                    jnp.zeros_like(X),
+                    jnp.zeros_like(rd()),
                 )
             else:
                 def body_acc(g, c):
@@ -240,15 +250,15 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
 
                 jax.lax.fori_loop(0, len(offsets), body_acc, jnp.int32(0))
         else:
-            Y = None if acc is not None else jnp.zeros_like(X)
+            Y = None if acc is not None else jnp.zeros_like(rd())
             for g, (dy, s) in enumerate(offsets):
-                term = d[g] * _roll2(X, dy, s, ns, interpret)
+                term = d[g] * _roll2(rd(), dy, s, ns, interpret)
                 if acc is not None:
                     acc[:] = acc[:] + term
                 else:
                     Y = Y + term
         if n_rest:
-            T = jnp.dot(gr_rowT[:], X, preferred_element_type=jnp.float32)
+            T = jnp.dot(gr_rowT[:], rd(), preferred_element_type=jnp.float32)
             xs = jnp.sum(T * gr_laneT[:], axis=1, keepdims=True)  # (Mp, 1)
             w = vals[:] * xs
             rest = jnp.dot(sc_row[:], w * sc_laneT[:],
@@ -344,14 +354,16 @@ def _cg_core_ref(mv_into, z_into, project_ref, cgx, cgr, cgp, cgt,
     at ns=1280).  Here no plane crosses a loop boundary as a value.
 
     Contracts: on entry ``cgx`` holds x0 and ``cgp`` holds b; on exit
-    ``cgx`` holds the projected solution.  ``mv_into(dst, Xv)`` writes
-    the RAW operator application A·Xv into ``dst``; ``z_into()`` writes
+    ``cgx`` holds the projected solution.  ``mv_into(dst, src)`` writes
+    the RAW operator application A·src[:] into ``dst`` reading the
+    source PER USE from its ref (no plane value lives across the matvec
+    pipeline loop); ``z_into()`` writes
     z = project(precond(r)) into a solver-owned scratch ref (it may use
     ``cgt``) and returns that ref; ``project_ref(ref)`` projects in
     place (identity for the viscous solve)."""
     project_ref(cgp)
     atol2 = (tol * jnp.maximum(jnp.sqrt(jnp.sum(cgp[:] * cgp[:])), 1e-30)) ** 2
-    mv_into(cgt, cgx[:])
+    mv_into(cgt, cgx)
     cgr[:] = cgp[:] - cgt[:]
     project_ref(cgr)
     z0 = z_into()
@@ -360,7 +372,7 @@ def _cg_core_ref(mv_into, z_into, project_ref, cgx, cgr, cgp, cgt,
     cgp[:] = z0[:]
 
     def advance(rz):
-        mv_into(cgt, cgp[:])
+        mv_into(cgt, cgp)
         project_ref(cgt)
         denom = jnp.sum(cgp[:] * cgt[:])
         alpha = jnp.where(denom != 0, rz / denom, 0.0)
@@ -465,11 +477,20 @@ class ViscousGridCG:
             else:
                 d = refs[1]
                 rest = refs[2:]
-            gr, gl, sr, sl, vals, mask, invd, b, x0, out = rest[:10]
-            scr = rest[10:]
             if hbm:
+                # no mask plane: the 0/1 interior mask is folded into
+                # the diag planes and remainder values HOST-SIDE
+                # (d′ = m·d·roll(m) — bit-exact for 0/1 masks), which
+                # removes both the mask plane and the m·X temporary
+                # from the kernel
+                gr, gl, sr, sl, vals, invd, b, x0, out = rest[:9]
+                scr = rest[9:]
                 cgx, cgr, cgp, cgt, iosem = scr[-5:]
                 scr = scr[:-5]
+                mask = None
+            else:
+                gr, gl, sr, sl, vals, mask, invd, b, x0, out = rest[:10]
+                scr = rest[10:]
 
             def mv(X):
                 m = mask[:]
@@ -485,14 +506,16 @@ class ViscousGridCG:
             if hbm:
                 from jax.experimental.pallas import tpu as pltpu
 
-                def mv_into(dst, Xv):
-                    m = mask[:]
+                def mv_into(dst, src):
+                    # masked-diag form: (I + dtν·mKm)·x with boundary
+                    # rows passing x through — d′ rows there are zero,
+                    # so x + dtν·0 = x exactly
                     apply_K(
-                        d, gr, gl, sr, sl, vals, m * Xv, n_rest, sh=sh,
+                        d, gr, gl, sr, sl, vals, None, n_rest, sh=sh,
                         scratch=scr[:2] if scr else None,
-                        sem=scr[2] if scr else None, acc=dst,
+                        sem=scr[2] if scr else None, acc=dst, x_ref=src,
                     )
-                    dst[:] = m * (Xv + dt_nu * dst[:]) + (1.0 - m) * Xv
+                    dst[:] = src[:] + dt_nu * dst[:]
 
                 def z_into():
                     cgt[:] = invd[:] * cgr[:]
@@ -525,12 +548,31 @@ class ViscousGridCG:
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
+        if hbm:
+            # fold the 0/1 interior mask into the operator host-side:
+            # d′_g = m ⊙ d_g ⊙ roll(m, offset), remainder values scaled
+            # by m[target]·m[source] — bit-exact (masks are exactly 0/1)
+            mg = _grid_of(self.interior_mask, ns)
+            md = []
+            for g, (dy, sft) in enumerate(K.offsets):
+                mr = jnp.roll(jnp.roll(mg, -dy, 0), -sft, 1)
+                md.append(mg * K.diags[g] * mr)
+            diags_eff = jnp.stack(md)
+            msrc = jnp.sum((K.gr_rowT @ mg) * K.gr_laneT, axis=1,
+                           keepdims=True)
+            mtgt = jnp.sum((K.sc_row.T @ mg) * K.sc_laneT, axis=1,
+                           keepdims=True)
+            vals_eff = K.rest_vals * msrc * mtgt
+        else:
+            diags_eff = K.diags
+            vals_eff = K.rest_vals
+
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
         if sloop:
             shifts = _shift_table(K.offsets, ns, pad_to=_pad_even(n_off) - 2)
             diag_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
-            diag_args = [_stacked_padded_diags(K.diags)]
+            diag_args = [_stacked_padded_diags(diags_eff)]
             scratch_shapes = [
                 pltpu.VMEM((ns, ns), K.diags.dtype),
                 pltpu.VMEM((ns, ns), K.diags.dtype),
@@ -541,7 +583,7 @@ class ViscousGridCG:
             diag_specs = [
                 pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_off)
             ]
-            diag_args = [K.diags[g] for g in range(n_off)]
+            diag_args = [diags_eff[g] for g in range(n_off)]
             scratch_shapes = [
                 pltpu.VMEM((ns, ns), K.diags.dtype),
                 pltpu.VMEM((ns, ns), K.diags.dtype),
@@ -550,12 +592,12 @@ class ViscousGridCG:
         else:
             shifts = _shift_table(K.offsets, ns)
             diag_specs = [vmem()]
-            diag_args = [K.diags]
+            diag_args = [diags_eff]
             scratch_shapes = []
 
         hbmspec = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
         if hbm:
-            field_specs = [vmem() for _ in range(7)] + [hbmspec(), hbmspec()]
+            field_specs = [vmem() for _ in range(6)] + [hbmspec(), hbmspec()]
             out_spec = hbmspec()
             scratch_shapes = scratch_shapes + [
                 pltpu.VMEM((ns, ns), K.diags.dtype),  # cgx
@@ -582,8 +624,8 @@ class ViscousGridCG:
                 ),
             )(
                 shifts, *diag_args,
-                K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT,
-                K.rest_vals, _grid_of(self.interior_mask, ns),
+                K.gr_rowT, K.gr_laneT, K.sc_row, K.sc_laneT, vals_eff,
+                *(() if hbm else (_grid_of(self.interior_mask, ns),)),
                 _grid_of(inv_diag, ns), b_grid, x0_grid,
             )
 
@@ -852,11 +894,11 @@ class PressureGridCG:
                 if hbm:
                     from jax.experimental.pallas import tpu as pltpu
 
-                    def mv_into(dst, Xv):
+                    def mv_into(dst, src):
                         apply_K(
-                            d, gr, gl, sr, sl, vals, Xv, n_rest, sh=sh,
+                            d, gr, gl, sr, sl, vals, None, n_rest, sh=sh,
                             scratch=scr[:2] if scr else None,
-                            sem=scr[2] if scr else None, acc=dst,
+                            sem=scr[2] if scr else None, acc=dst, x_ref=src,
                         )
 
                     def project_ref(ref):
@@ -868,10 +910,10 @@ class PressureGridCG:
                             cgz[:] = invd[:] * cgr[:]
                         else:
                             cgz[:] = omega * (invd[:] * cgr[:])  # z1
-                            mv_into(cgt, cgz[:])
+                            mv_into(cgt, cgz)
                             cgt[:] = cgr[:] - cgt[:]
                             cgz[:] = cgz[:] + coarse(cgt[:])     # z2
-                            mv_into(cgt, cgz[:])
+                            mv_into(cgt, cgz)
                             cgz[:] = cgz[:] + omega * (
                                 invd[:] * (cgr[:] - cgt[:])
                             )
