@@ -245,6 +245,7 @@ def run_imported(
     precond: str = "twolevel",
     transport: str = "none",
     storage: str = "grid",
+    hbm_io: str = "auto",
 ):
     """An imported Triangle mesh (e.g. the reference's ``mesh_fine.1``)
     through the grid-kernel path via geometric renumbering."""
@@ -528,7 +529,8 @@ def main(argv=None):
     elif args.mesh:
         r = run_imported(args.mesh, args.steps, precond=args.precond,
                          transport=args.transport,
-                         storage=args.storage if args.storage != "auto" else "grid")
+                         storage=args.storage if args.storage != "auto" else "grid",
+                         hbm_io=args.hbm_io)
         r["label"] = args.mesh
         print(json.dumps(r), flush=True)
         rows.append(r)
