@@ -82,6 +82,7 @@ class GridOperator:
         dtype=jnp.float32,
         max_offsets: int = 24,
         min_fill: float = 0.02,
+        rest_target: int | None = None,
     ) -> "GridOperator":
         """Decompose a CSROperator on an ns×ns grid numbering (host-side).
 
@@ -92,7 +93,17 @@ class GridOperator:
         being taken until the remainder fits its VMEM budget, up to a
         diag-array byte budget.  Raises :class:`GridDecompositionError`
         when no selection fits — callers on the "auto" path fall back to
-        stencil/banded storage (ADVICE r2 #3: no assert crash)."""
+        stencil/banded storage (ADVICE r2 #3: no assert crash).
+
+        ``rest_target``: when the caller STREAMS the diag planes from HBM
+        (``cg_stream_diags`` / the XL ``cg_hbm_io`` regime), extra offsets
+        cost no VMEM — only HBM bytes — while every 128 remainder rows
+        cost ~4·128·ns·4 B of *VMEM* one-hot factors inside the
+        whole-solve kernels (2.9 MB per 128 rows at ns=1408, where the
+        2M-node pressure kernel missed the scoped-VMEM cap by 88 KB).
+        Passing e.g. 128 keeps taking offsets (up to the 64-plane hard
+        cap) until the remainder is ≤ that, shrinking the one-hot Mp
+        padding to its minimum."""
         n = op.shape[0]
         assert n == ns * ns, (n, ns)
         rows = np.asarray(op.row_ids, dtype=np.int64)
@@ -109,7 +120,13 @@ class GridOperator:
         # dense diags n_off·N·4 B — both must leave room for the ~15 live
         # CG vectors inside the whole-solve kernels (100 MB VMEM limit)
         rest_cap = min(max(4096, n // 8), max(512, int(16 * 2**20 / (20 * ns))))
-        hard_max = min(64, max(max_offsets, int(48 * 2**20 / (4 * n))))
+        if rest_target is not None:
+            # streamed-diag callers: diag planes are HBM-resident, so trade
+            # them freely against VMEM-resident one-hot remainder rows
+            rest_cap = min(rest_cap, int(rest_target))
+            hard_max = 64
+        else:
+            hard_max = min(64, max(max_offsets, int(48 * 2**20 / (4 * n))))
         min_count = max(1, int(min_fill * n))
         total = len(rows)
         dense_keys = []

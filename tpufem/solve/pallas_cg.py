@@ -57,13 +57,14 @@ def _roll2(X, dy: int, s: int, ns: int, interpret: bool):
     return out
 
 
-_VMEM_LIMIT = 127 * 2**20  # scoped-VMEM budget for the whole-solve
-# kernels.  v5e exposes 128 MiB; Mosaic's default 16 MiB rejects the CG
-# loop's temporaries outright.  116 MiB was the round-3 working value
-# (117.32 MB measured at ns=1024); the XL pressure kernel at ns=1408
-# (2M nodes, 22 offsets) measures 121.13 MiB — the cap now sits at
-# 127 MiB (anything over hardware capacity still fails at compile, so
-# the cap only exists to leave a margin for the runtime's own use)
+_VMEM_LIMIT = int(127.5 * 2**20)  # scoped-VMEM budget for the
+# whole-solve kernels.  v5e exposes 128 MiB; Mosaic's default 16 MiB
+# rejects the CG loop's temporaries outright.  116 MiB was the round-3
+# working value (117.32 MB measured at ns=1024); at ns=1408 (2M nodes,
+# 22 offsets) the pressure kernel measures 121.13 MiB and the viscous
+# solve 127.15 MiB — the cap now sits at 127.5 MiB (anything over
+# hardware capacity still fails at compile, so the cap only exists to
+# leave a margin for the runtime's own use)
 
 _LOOP_OFFSETS_FROM = 12  # ≥: apply offsets in a fori_loop with DYNAMIC
 # roll shifts instead of unrolling — renumbered arbitrary meshes carry

@@ -625,8 +625,25 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
             config.cg_hbm_io == "auto" and mesh.n_nodes >= 1_100_000
         )
         stream = stream or hbm_io  # XL mode streams by construction
+
+        def build_gridop(csr):
+            # streamed regimes: diag planes live in HBM, so spend a few
+            # more of them to shrink the VMEM-resident one-hot remainder
+            # to its 128-row minimum (at ns=1408 this is the 8.6 MB that
+            # carries the pressure kernel under the scoped-VMEM cap).
+            # Meshes whose coupling tail doesn't concentrate (gridified
+            # imports) fall back to the plain budgeted selection.
+            if stream:
+                try:
+                    return GridOperator.build(
+                        csr, ns_grid, dtype=dtype, rest_target=128
+                    )
+                except GridDecompositionError:
+                    pass
+            return GridOperator.build(csr, ns_grid, dtype=dtype)
+
         try:
-            Gv = GridOperator.build(K_csr, ns_grid, dtype=dtype)
+            Gv = build_gridop(K_csr)
             build_grid = Gv.coverage >= 0.9 or storage in ("grid", "grid_interpret")
             if build_grid:
                 visc = ViscousGridCG(
@@ -649,7 +666,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                 active_mask = (
                     (owner == np.arange(mesh.n_nodes)) & (np.asarray(m_lumped) > 0)
                 ).astype(np.float64)
-                Gm = GridOperator.build(Km_csr, ns_grid, dtype=dtype)
+                Gm = build_gridop(Km_csr)
                 pressure = PressureGridCG.build(
                     Km_csr,
                     Gm,
