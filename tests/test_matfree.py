@@ -422,6 +422,31 @@ def test_grid_operator_exact_on_ring_in_grid_mesh():
     )
 
 
+def test_grid_operator_rest_target_trades_offsets_for_remainder():
+    """``rest_target`` (streamed-diag regimes: HBM offset planes are free,
+    VMEM one-hot remainder rows are not) takes extra offsets until the
+    remainder fits the target, preserving exactness — the lever that
+    carried the 2M-node pressure kernel under the scoped-VMEM cap."""
+    from tpufem.ops.gridop import GridOperator
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    K = assembly.assemble_csr(mesh, assembly.element_stiffness(mesh))
+    G0 = GridOperator.build(K, 40, dtype=jnp.float64)
+    G1 = GridOperator.build(K, 40, dtype=jnp.float64, rest_target=16)
+    G2 = GridOperator.build(K, 40, dtype=jnp.float64, rest_target=0)
+    assert G1.n_rest <= 16 < G0.n_rest
+    assert len(G1.offsets) > len(G0.offsets)
+    assert G2.n_rest == 0  # every coupling fits a dense offset
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    y_ref = np.asarray(K.matvec(x))
+    for G in (G1, G2):
+        np.testing.assert_allclose(np.asarray(G.matvec(x)), y_ref, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(G.diag()), np.asarray(K.diag()), atol=1e-12
+        )
+
+
 def test_grid_cg_solvers_match_matfree():
     """ViscousGridCG / PressureGridCG (whole-solve VMEM kernels, interpret
     mode on CPU) reproduce the matfree CG solutions."""

@@ -131,6 +131,10 @@ def main(argv=None):
                    help="--large: matrix-free Navier–Stokes scaling rows")
     s.add_argument("--n-side", type=int, default=96,
                    help="--large --th mesh resolution")
+    s.add_argument("--hbm-io", default=None,
+                   help="--large: cg_hbm_io auto | on | off (XL kernels)")
+    s.add_argument("--bench-precision", default=None,
+                   help="--large --th/--ns precision override (f32 | f64)")
 
     args = parser.parse_args(argv)
     import tpufem
@@ -171,6 +175,10 @@ def main(argv=None):
                 bench_argv += ["--th", "--n-side", str(args.n_side)]
             if args.ns:
                 bench_argv += ["--ns"]
+            if args.hbm_io:
+                bench_argv += ["--hbm-io", args.hbm_io]
+            if args.bench_precision:
+                bench_argv += ["--precision", args.bench_precision]
             bench_large.main(bench_argv)
             return
         import bench
