@@ -51,6 +51,20 @@ def test_interpolate_linear_field_exact(mesh1, locator):
     np.testing.assert_allclose(np.asarray(vals), expected, atol=1e-10)
 
 
+def test_interpolate_corner_gather_matches_triangle_major(mesh1, locator, monkeypatch):
+    """The large-T corner-gather branch (O(P) row gathers off the packed
+    locator rows, used above _TRI_MAJOR_MAX_TRIS) is value-identical to
+    the small-T triangle-major re-pack."""
+    pts, _ = _random_interior_points(mesh1, seed=7)
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.standard_normal((mesh1.n_nodes, 2)))
+    v0, found0 = transport.interpolate(mesh1, f, jnp.asarray(pts), locator)
+    monkeypatch.setattr(transport, "_TRI_MAJOR_MAX_TRIS", 0)
+    v1, found1 = transport.interpolate(mesh1, f, jnp.asarray(pts), locator)
+    assert bool(jnp.all(found0 == found1))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=1e-12)
+
+
 def test_advect_zero_velocity_identity(mesh1):
     """Zero velocity keeps the dye — except on the x≈L column, whose
     departure points wrap to x=0 and pick up the left partner's value

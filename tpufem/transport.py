@@ -571,6 +571,12 @@ def _first_containing(mesh: Mesh, cand: jnp.ndarray, points: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+# triangle-major field re-pack (one (T,3[,D]) gather per interpolate
+# call) beats per-point corner gathers only while T is small; above this
+# the O(T) re-pack dominates the whole step at XL mesh sizes
+_TRI_MAJOR_MAX_TRIS = 65536
+
+
 def interpolate(mesh: Mesh, field: jnp.ndarray, points: jnp.ndarray, locator):
     """Linear (P1) interpolation of a nodal field at arbitrary points.
 
@@ -579,6 +585,27 @@ def interpolate(mesh: Mesh, field: jnp.ndarray, points: jnp.ndarray, locator):
     points outside the mesh (the reference's masked array likewise
     contributes nothing to the tracer update).
     """
+    if (
+        isinstance(locator, GridLocator)
+        and mesh.n_tris > _TRI_MAJOR_MAX_TRIS
+    ):
+        # large-mesh form: the packed row already carries the winner's
+        # corner NODE ids (find_full), so the field access is three O(P)
+        # row gathers — the triangle-major re-pack below is O(T) *per
+        # interpolate call* and costs ~190 ms/step at 1.68M triangles
+        # (measured: the 1.05M-node tracer row ran 3.3 steps/s against
+        # 9.2 transport-free, vs a +16 ms/step delta at 518k)
+        _, found, w, corners = locator.find_full(points)
+        ci = corners.astype(jnp.int32)
+        f2 = field if field.ndim > 1 else field[:, None]
+        vals = (
+            w[:, 0:1] * f2[ci[:, 0]]
+            + w[:, 1:2] * f2[ci[:, 1]]
+            + w[:, 2:3] * f2[ci[:, 2]]
+        )
+        vals = vals if field.ndim > 1 else vals[:, 0]
+        mask = found if vals.ndim == 1 else found[:, None]
+        return jnp.where(mask, vals, 0.0), found
     if hasattr(locator, "find") and isinstance(locator, GridLocator):
         tri_ids, found, w = locator.find(points, return_weights=True)
     else:
@@ -587,7 +614,9 @@ def interpolate(mesh: Mesh, field: jnp.ndarray, points: jnp.ndarray, locator):
         w, _ = _barycentric(tri_xy, points)
     # gather the field triangle-major: one SMALL (T-row) gather re-packs the
     # nodal field per triangle, then the per-point access is a flat 2-D row
-    # gather — avoids the slow multi-dim-result node gather (see GridLocator)
+    # gather — avoids the slow multi-dim-result node gather (see GridLocator);
+    # right when T is small (the reference-mesh regime), O(T)-wrong when T
+    # is millions — the corner-gather branch above takes over there
     tri_field = field[jnp.asarray(mesh.tris)]  # (T,3) or (T,3,D)
     flat = tri_field.reshape(mesh.n_tris, -1)  # (T, 3D)
     per_pt = flat[tri_ids].reshape((points.shape[0],) + tri_field.shape[1:])
