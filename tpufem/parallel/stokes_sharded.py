@@ -124,7 +124,11 @@ def make_sharded_matfree_step(device_mesh: DeviceMesh, problem, axis: str = "spa
                              valid_j.astype(p.dtype), p)
         return num / (den + 1e-12)[:, None]
 
-    interior = jnp.asarray(problem.boundary.interior)
+    # 0/1 indicator instead of an index list: the scatter-add form is an
+    # O(N) gather+scatter per step (see stokes.projection_step)
+    imask_np = np.ones(problem.mesh.n_nodes)
+    imask_np[problem.boundary.dirichlet] = 0.0
+    imask = jnp.asarray(imask_np, dtype=problem.dtype)
 
     def apply_bcs(u):
         return stokes.apply_field_bcs(problem, u)
@@ -139,7 +143,7 @@ def make_sharded_matfree_step(device_mesh: DeviceMesh, problem, axis: str = "spa
         if cfg.double_projection:
             p2 = press_solve(-div(u_new) / dt)
             g2 = grad(p2)
-            u_new = u_new.at[interior].add(-dt * g2[interior])
+            u_new = u_new - dt * g2 * imask[:, None]
         final_div = div(u_new)
         metrics = {
             "div_star_max": jnp.max(jnp.abs(div_star)),

@@ -1045,8 +1045,20 @@ def projection_step(problem: StokesProblem, u: jnp.ndarray, bc_scale=1.0, warm=N
         else:
             p2 = problem.pressure_solver.solve(-div_u / dt)
         g2 = problem.grad(p2)
-        interior = jnp.asarray(problem.boundary.interior)
-        u_new = u_new.at[interior].add(-dt * g2[interior])
+        imask = getattr(problem.visc_solver, "interior_mask", None)
+        if imask is not None and imask.shape[0] == u_new.shape[0]:
+            # masked form of the interior-only update: the index
+            # scatter-add below is an O(N) gather + O(N) scatter per
+            # step — measured ~20 ms/step at 410k nodes (TPU scatters
+            # serialize), vs a fully fused elementwise multiply-add.
+            # interior_mask is exactly the 0/1 indicator of
+            # boundary.interior (stokes build: 1 − dirichlet), so the
+            # update is element-wise identical.  The dense/f64 parity
+            # path (no mask on its solver) keeps the legacy scatter.
+            u_new = u_new - dt * g2 * imask[:, None]
+        else:
+            interior = jnp.asarray(problem.boundary.interior)
+            u_new = u_new.at[interior].add(-dt * g2[interior])
 
     final_div = problem.div(u_new)
     metrics = {
