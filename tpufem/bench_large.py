@@ -169,11 +169,21 @@ def run_problem(problem, steps: int):
     state, metrics = stokes.run(problem, steps=steps)
     np.asarray(state["u"])
     elapsed = time.perf_counter() - t0
-    return steps / elapsed, t_compile, state, metrics
+
+    # steady-state continuation: the cold run's early steps pay full CG
+    # budgets until the warm-start + tolerance early-exit converges
+    # (measured 31.6 cold vs ~90 warm steps/s at 410k), so the from-rest
+    # number under-reports the long-campaign throughput the reference
+    # workloads (1000-6000 steps) actually see
+    t0 = time.perf_counter()
+    state2, _ = stokes.run(problem, steps=steps, state=state)
+    np.asarray(state2["u"])
+    warm_sps = steps / (time.perf_counter() - t0)
+    return steps / elapsed, t_compile, state, metrics, warm_sps
 
 
 def _row(problem, mesh, config, steps, steps_per_sec, t_build, t_compile,
-         state, metrics, precond):
+         state, metrics, precond, warm_steps_per_sec=None):
     phys = physics_report(problem, state, metrics, steps)
     # CG iterations per step: batched 2-column viscous CG + two pressure
     # solves (double projection).  With tolerance CG the pressure counts
@@ -198,6 +208,8 @@ def _row(problem, mesh, config, steps, steps_per_sec, t_build, t_compile,
         "build_s": round(t_build, 1),
         "compile_s": round(t_compile, 1),
     }
+    if warm_steps_per_sec is not None:
+        row["warm_steps_per_sec"] = round(warm_steps_per_sec, 2)
     row.update(phys)
     if config.transport == "tracers":
         row["n_tracers"] = int(problem.tracer_init.shape[0])
@@ -234,9 +246,9 @@ def run_one(
     )
     problem = stokes.StokesProblem.build(mesh, config)
     t_build = time.perf_counter() - t0
-    sps, t_compile, state, metrics = run_problem(problem, steps)
+    sps, t_compile, state, metrics, warm_sps = run_problem(problem, steps)
     return _row(problem, mesh, config, steps, sps, t_build, t_compile,
-                state, metrics, precond)
+                state, metrics, precond, warm_sps)
 
 
 def run_imported(
@@ -266,9 +278,9 @@ def run_imported(
     )
     problem = stokes.StokesProblem.build(mesh, config)
     t_build = time.perf_counter() - t0
-    sps, t_compile, state, metrics = run_problem(problem, steps)
+    sps, t_compile, state, metrics, warm_sps = run_problem(problem, steps)
     row = _row(problem, mesh, config, steps, sps, t_build, t_compile,
-               state, metrics, precond)
+               state, metrics, precond, warm_sps)
     row["mesh"] = stem
     row["n_nodes_input"] = int(mesh.n_nodes)
     return row
