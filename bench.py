@@ -43,6 +43,11 @@ def run_tpufem(mesh, steps=BENCH_STEPS):
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: cuts the cold-start compile (the flakiest
+    # part of the tunneled TPU runtime) whenever /tmp survives between runs
+    from tpufem.bench_large import enable_compile_cache
+
+    enable_compile_cache()
     from tpufem.workloads import stokes
 
     # the f32 fast path: host-f64-factored operators applied as f32 MXU
