@@ -147,7 +147,7 @@ def run_self(
             f"velocity error not decreasing under refinement: {errs}"
         )
         divs = [r["div_rel"] for r in rows]
-        assert max(divs) < bench_large.DIV_REL_GATE, divs
+        assert max(divs) < bench_large.DIV_REL_GATES["stokes"], divs
     return rows
 
 
