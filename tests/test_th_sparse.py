@@ -124,6 +124,26 @@ def test_th_inner_twolevel_matches_jacobi():
     )
 
 
+def test_grid_th_engine_matches_csr_engine():
+    """The whole-solve-kernel TH engine (GridTHProblem / th_grid_step,
+    interpret mode on CPU) reproduces the CSR Uzawa stepper: same θ-scheme,
+    every inner solve as one Pallas kernel over gridify_points rasters."""
+    mesh = tpufem.generate_annulus_mesh(n_side=20, n_circle=32)
+    m2 = p2_refine(mesh, snap_center=(0.5, 0.5), snap_radius=0.25)
+    sp = th_sparse.SparseTHProblem.build(
+        m2,
+        th_sparse.SparseTHConfig(
+            dt=0.01, nu=1.0, iters_inner=60, iters_outer=40, iters_plap=20
+        ),
+    )
+    us, _, _ = th_sparse.run(sp, steps=5)
+    gp = th_sparse.GridTHProblem.build(sp, interpret=True, tol_inner=0.0)
+    ug, _, mg = th_sparse.run_grid(gp, steps=5)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(ug), atol=1e-6)
+    assert float(np.asarray(mg["max_u"])) == pytest.approx(2.0, rel=1e-3)
+    assert float(np.asarray(mg["div_weak_max"])) < 1e-6
+
+
 def test_steady_uzawa_matches_dense_taylor_hood():
     """steady_solve (matrix-free Uzawa on the STEADY Stokes saddle, the
     νM_p⁻¹ steady Cahouet–Chabard preconditioner) reproduces the dense

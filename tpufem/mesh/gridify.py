@@ -86,6 +86,71 @@ def _monotone_lanes(t: np.ndarray, ns: int) -> np.ndarray:
     return np.minimum(m, ns - k) + idx
 
 
+def gridify_points(
+    coords: np.ndarray,
+    L: float = 1.0,
+    H: float = 1.0,
+    ns: int | None = None,
+) -> tuple[np.ndarray, int]:
+    """(perm, ns): raster numbering for a bare point cloud.
+
+    The non-periodic core of :func:`gridify_mesh` — capacity-constrained
+    geometric row bands + monotone geometric lanes — without the
+    edge-pinning / periodic-pair machinery.  Used for dof spaces that are
+    not P1 mesh nodes: the P2 velocity dofs and the P1 pressure dofs of
+    the Taylor–Hood grid kernels (``workloads/th_sparse.py``), where the
+    quasi-uniform refined lattice makes every FEM coupling a small 2-D
+    grid offset under this numbering.  ``perm[old_id] = row·ns + lane``.
+    """
+    coords = np.asarray(coords)
+    n = coords.shape[0]
+    x, y = coords[:, 0], coords[:, 1]
+    if ns is None:
+        ns = int(np.ceil(np.sqrt(n)))
+    assert ns * ns >= n, (ns, n)
+
+    order = np.lexsort((y, x))
+    t = np.clip((x[order] / L * ns).astype(np.int64), 0, ns - 1)
+    cap = ns
+    r = t.copy()
+    # capacity-constrained monotone rows (same fixpoint sweeps as
+    # gridify_mesh, without the edge pinning)
+    while True:
+        prev = r[:-cap] + 1
+        upd = np.maximum(r[cap:], prev)
+        if (upd == r[cap:]).all():
+            break
+        r[cap:] = upd
+        np.maximum.accumulate(r, out=r)
+    r = np.minimum(r, ns - 1)
+    while True:
+        nxt = r[cap:] - 1
+        upd = np.minimum(r[:-cap], nxt)
+        if (upd == r[:-cap]).all():
+            break
+        r[:-cap] = upd
+        r = np.minimum.accumulate(r[::-1])[::-1]
+    if r[0] < 0 or (np.bincount(r, minlength=ns) > cap).any():
+        raise GridifyError(
+            "infeasible capacity-constrained row assignment "
+            "(n > ns² should be impossible here)"
+        )
+    row = np.empty(n, dtype=np.int64)
+    row[order] = r
+
+    lane = np.empty(n, dtype=np.int64)
+    for rr in np.unique(row):
+        ids = np.nonzero(row == rr)[0]
+        o = ids[np.argsort(y[ids], kind="stable")]
+        tgt = np.clip((y[o] / H * ns).astype(np.int64), 0, ns - 1)
+        lane[o] = _monotone_lanes(tgt, ns)
+
+    perm = row * ns + lane
+    if len(np.unique(perm)) != n:
+        raise GridifyError("internal error: non-injective slot assignment")
+    return perm.astype(np.int64), ns
+
+
 def gridify_mesh(
     mesh: Mesh,
     L: float = 1.0,

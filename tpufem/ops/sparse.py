@@ -77,3 +77,32 @@ def self_rows(op: CSROperator) -> np.ndarray:
         hit = (op.indptr, op.row_ids)
         _ROWS_CACHE[key] = hit
     return hit[1]
+
+
+def csr_from_coo(rows, cols, data, shape) -> CSROperator:
+    """CSR from host COO triplets (unique (row, col) pairs assumed —
+    the permutation of an already-assembled pattern)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    order = np.lexsort((cols, rows))
+    indptr = np.zeros(shape[0] + 1, dtype=np.int32)
+    np.add.at(indptr, rows[order] + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    return CSROperator(
+        indptr=indptr,
+        indices=cols[order].astype(np.int32),
+        data=jnp.asarray(np.asarray(data)[order]),
+        shape=tuple(shape),
+    )
+
+
+def permute_csr(op: CSROperator, row_perm, col_perm, shape) -> CSROperator:
+    """Renumber rows/cols of a CSROperator (host-side rebuild).
+
+    ``row_perm[old_row] = new_row`` (likewise cols); ``shape`` may be
+    larger than the old one — unmapped new rows become empty (the inert
+    dummy slots of a :func:`tpufem.mesh.gridify.gridify_points` raster).
+    """
+    rows = np.asarray(row_perm, dtype=np.int64)[np.asarray(op.row_ids)]
+    cols = np.asarray(col_perm, dtype=np.int64)[np.asarray(op.indices)]
+    return csr_from_coo(rows, cols, np.asarray(op.data), shape)

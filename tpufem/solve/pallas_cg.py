@@ -108,7 +108,12 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
     is what made the ≥800k-node Mosaic compiles take 5–13 minutes.  The
     128-divisibility keeps every ``d.at[g]`` memref slice tile-aligned
     (the reason the unrolled form uses separate whole refs)."""
-    loop = stream or len(offsets) >= _LOOP_OFFSETS_FROM
+    # the dynamic-shift loop form lowers to tpu.dynamic_rotate, which
+    # Mosaic only implements for tile-aligned shapes ("unsupported
+    # unaligned shape" at ns=95, measured round 4) — unaligned grids fall
+    # back to the unrolled static rolls, which handle any ns
+    aligned = interpret or ns % 128 == 0
+    loop = stream or (len(offsets) >= _LOOP_OFFSETS_FROM and aligned)
 
     def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int,
               sh=None, scratch=None, sem=None, acc=None, x_ref=None):

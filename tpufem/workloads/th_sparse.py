@@ -415,3 +415,275 @@ def steady_solve(
     )
     u = solveA(r_v - m * problem.bt_apply(p)) + problem.u_bc
     return u, p
+
+
+# ---------------------------------------------------------------------------
+# Grid-kernel engine: the LBB-stable path at TPU speed (round 4)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GridTHProblem:
+    """Whole-solve-kernel engine for the sparse Taylor–Hood stepper.
+
+    The CSR Uzawa step above issues thousands of small-vector XLA ops per
+    step — each a separate kernel launch on the tunneled TPU runtime, so
+    the committed round-3 row ran at 0.02 steps/s (dispatch-bound, not
+    FLOP-bound).  This engine renumbers BOTH dof spaces onto rasters
+    (``mesh/gridify.gridify_points``: the P2 velocity dofs of a generated
+    mesh form the refined (2·n_side−1)² lattice minus the hole, the P1
+    pressure dofs the n_side² lattice) and runs every inner solve as ONE
+    Pallas kernel:
+
+    * velocity solves (the A = M₂/Δt + θνK₂ systems, 27+ per step):
+      :class:`~tpufem.solve.pallas_cg.ViscousGridCG` over the identity-
+      split operator A = I + (A − I) with the Dirichlet mask folded in —
+      whole Jacobi-PCG per component in one kernel, tolerance early-exit;
+    * the Cahouet–Chabard K_p sweeps (one per outer iteration):
+      :class:`~tpufem.solve.pallas_cg.PressureGridCG` (two-level-
+      preconditioned, constant-deflated on the active raster slots).
+
+    The outer Schur CG and the B/Bᵀ couplings stay in XLA (CSR matvecs in
+    the raster numbering) — per outer iteration that is 2 kernel launches
+    plus ~15 fused XLA ops instead of ~350.
+
+    Same math as :func:`th_sparse_step` (beats the reference's P1/P1
+    accuracy ceiling, ``/root/reference/README.md:19``, at TPU speed);
+    equality vs the CSR engine is CI-tested in interpret mode.
+    """
+
+    base: SparseTHProblem
+    ns2: int
+    ns1: int
+    perm2: np.ndarray  # (N2,) P2 dof → raster slot
+    perm1: np.ndarray  # (N1,) pressure dof → raster slot
+    vel_solver: Any  # ViscousGridCG on A − I (dt_nu=1)
+    plap_solver: Any  # PressureGridCG on K_p
+    M2g: Any  # raster-numbered CSRs for the XLA glue
+    K2g: Any
+    Bxg: Any
+    Byg: Any
+    BxTg: Any
+    ByTg: Any
+    u_bc_g: jnp.ndarray  # (ns2², 2)
+    mask_g: jnp.ndarray  # (ns2²,) interior-velocity indicator (0 at dummies)
+    mp_g: jnp.ndarray  # (ns1²,) lumped pressure mass (1 at dummies)
+    act1: jnp.ndarray  # (ns1²,) real-pressure-slot indicator
+    corner_slots: jnp.ndarray  # (N1,) pressure dof → P2 raster slot
+    tol_outer: float = 0.0
+
+    @classmethod
+    def build(
+        cls,
+        base: SparseTHProblem,
+        interpret: bool | None = None,
+        ns2: int | None = None,
+        ns1: int | None = None,
+        tol_inner: float = 1e-6,
+        tol_outer: float = 0.0,
+        target_coarse: int = 1024,
+    ) -> "GridTHProblem":
+        import jax
+
+        from tpufem.mesh.gridify import gridify_points
+        from tpufem.ops.gridop import GridOperator
+        from tpufem.ops.sparse import permute_csr
+        from tpufem.solve.pallas_cg import PressureGridCG, ViscousGridCG
+        from tpufem.utils.host import host_context
+
+        cfg = base.config
+        dtype = base.mp_lumped.dtype
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        with host_context():
+            # raster hints: ceil(sqrt(N)) under-sizes generated-lattice
+            # clouds (the hole-removed (2n−1)² fine lattice has full-height
+            # columns that must not split across rows) — callers that know
+            # the lattice width pass it; the default still decomposes, just
+            # with more offsets
+            p2, ns2_ = gridify_points(np.asarray(base.mesh.coords), ns=ns2)
+            p1, ns1_ = gridify_points(np.asarray(base.pmesh.coords), ns=ns1)
+            n2sq, n1sq = ns2_ * ns2_, ns1_ * ns1_
+
+            assert np.array_equal(
+                np.asarray(base.M2.indices), np.asarray(base.K2.indices)
+            ), "M2/K2 pattern mismatch"
+            a_data = (
+                np.asarray(base.M2.data, dtype=np.float64) / cfg.dt
+                + (cfg.theta * cfg.nu) * np.asarray(base.K2.data, dtype=np.float64)
+            )
+            rows = np.asarray(base.K2.row_ids)
+            cols = np.asarray(base.K2.indices)
+            a_minus_i = a_data.copy()
+            a_minus_i[rows == cols] -= 1.0  # identity split for ViscousGridCG
+            a_g = permute_csr(
+                base.K2.with_data(jnp.asarray(a_minus_i)), p2, p2, (n2sq, n2sq)
+            )
+            gopA = GridOperator.build(a_g, ns2_, dtype=dtype)
+
+            mask_g = np.zeros(n2sq)
+            mask_g[p2] = np.asarray(base.vel_mask)
+            vel_solver = ViscousGridCG(
+                K=gopA,
+                interior_mask=jnp.asarray(mask_g, dtype=dtype),
+                dt_nu=1.0,
+                iters=cfg.iters_inner,
+                tol=tol_inner,
+                interpret=interpret,
+            )
+
+            kp_g = permute_csr(base.Kp, p1, p1, (n1sq, n1sq))
+            gopP = GridOperator.build(kp_g, ns1_, dtype=dtype)
+            act1 = np.zeros(n1sq)
+            act1[p1] = 1.0
+            empty = np.zeros(0, dtype=np.int64)
+            plap_solver = PressureGridCG.build(
+                kp_g, gopP,
+                m_lumped=jnp.ones(n1sq, dtype=dtype),
+                masters=empty, slaves=empty,
+                active_mask=jnp.asarray(act1, dtype=dtype),
+                iters=cfg.iters_plap,
+                tol=0.0,
+                target_coarse=target_coarse,
+                use_coarse=True,
+                interpret=interpret,
+            )
+
+            def cast(op):
+                return op.with_data(op.data.astype(dtype))
+
+            u_bc_g = np.zeros((n2sq, 2))
+            u_bc_g[p2] = np.asarray(base.u_bc)
+            mp_g = np.ones(n1sq)
+            mp_g[p1] = np.asarray(base.mp_lumped)
+            return cls(
+                base=base,
+                ns2=ns2_, ns1=ns1_,
+                perm2=p2, perm1=p1,
+                vel_solver=vel_solver,
+                plap_solver=plap_solver,
+                M2g=cast(permute_csr(base.M2, p2, p2, (n2sq, n2sq))),
+                K2g=cast(permute_csr(base.K2, p2, p2, (n2sq, n2sq))),
+                Bxg=cast(permute_csr(base.Bx, p1, p2, (n1sq, n2sq))),
+                Byg=cast(permute_csr(base.By, p1, p2, (n1sq, n2sq))),
+                BxTg=cast(permute_csr(base.BxT, p2, p1, (n2sq, n1sq))),
+                ByTg=cast(permute_csr(base.ByT, p2, p1, (n2sq, n1sq))),
+                u_bc_g=jnp.asarray(u_bc_g, dtype=dtype),
+                mask_g=jnp.asarray(mask_g, dtype=dtype),
+                mp_g=jnp.asarray(mp_g, dtype=dtype),
+                act1=jnp.asarray(act1, dtype=dtype),
+                corner_slots=jnp.asarray(
+                    p2[np.asarray(base.corners)], dtype=jnp.int32
+                ),
+                tol_outer=tol_outer,
+            )
+
+    # raster-layout helpers -------------------------------------------------
+
+    def push2(self, field: np.ndarray) -> np.ndarray:
+        out = np.zeros((self.ns2 * self.ns2,) + field.shape[1:], field.dtype)
+        out[self.perm2] = field
+        return out
+
+    def pull2(self, field) -> np.ndarray:
+        return np.asarray(field)[self.perm2]
+
+    def b_apply(self, w: jnp.ndarray) -> jnp.ndarray:
+        return self.Bxg.matvec(w[:, 0]) + self.Byg.matvec(w[:, 1])
+
+    def bt_apply(self, q: jnp.ndarray) -> jnp.ndarray:
+        return jnp.stack([self.BxTg.matvec(q), self.ByTg.matvec(q)], axis=1)
+
+    def cc_precond(self, r: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.base.config
+        z = self.plap_solver.solve(r)
+        return cfg.nu * (r / self.mp_g) + z / cfg.dt
+
+
+def th_grid_step(gp: GridTHProblem, u: jnp.ndarray, p0: jnp.ndarray):
+    """One θ-step in raster numbering → (u_new (ns2², 2), p (ns1²,),
+    metrics).  Same algorithm as :func:`th_sparse_step`."""
+    from tpufem.solve.cg import cg
+
+    cfg = gp.base.config
+    m = gp.mask_g[:, None]
+    rhs_full = _mv(gp.M2g, u) / cfg.dt - (
+        (1.0 - cfg.theta) * cfg.nu
+    ) * _mv(gp.K2g, u)
+    lift = _mv(gp.M2g, gp.u_bc_g) / cfg.dt + (cfg.theta * cfg.nu) * _mv(
+        gp.K2g, gp.u_bc_g
+    )
+    r_v = m * (rhs_full - lift)
+    g = -gp.b_apply(gp.u_bc_g)
+
+    solveA = gp.vel_solver.solve
+    rhs_p = gp.b_apply(solveA(r_v)) - g
+
+    def s_apply(q):
+        return gp.b_apply(solveA(m * gp.bt_apply(q)))
+
+    if gp.tol_outer > 0:
+        p, _ = cg(
+            s_apply, rhs_p, x0=p0, tol=gp.tol_outer,
+            maxiter=cfg.iters_outer, precond=gp.cc_precond,
+            deflate=True, deflate_weights=gp.act1,
+        )
+    else:
+        p, _ = cg_fixed(
+            s_apply, rhs_p, x0=p0, iters=cfg.iters_outer,
+            precond=gp.cc_precond, deflate=True, deflate_weights=gp.act1,
+        )
+    u_t = solveA(r_v - m * gp.bt_apply(p))
+    u_new = u_t + gp.u_bc_g
+    div_w = gp.b_apply(u_new)
+    from tpufem.ops import calculus
+
+    div_nodal = calculus.divergence(gp.base.pmesh, u_new[gp.corner_slots])
+    metrics = {
+        "max_u": jnp.max(jnp.abs(u_new)),
+        "div_weak_max": jnp.max(jnp.abs(div_w)),
+        "div_weak_l2": jnp.sqrt(jnp.sum(div_w * div_w)),
+        "final_div_max": jnp.max(jnp.abs(div_nodal)),
+    }
+    return u_new, p, metrics
+
+
+def run_grid(gp: GridTHProblem, steps: int | None = None,
+             host_loop: bool = True):
+    """Drive the grid engine → (u (N2, 2) in ORIGINAL numbering, p (N1,),
+    final-step metrics).  ``host_loop=True`` (default) keeps each step its
+    own dispatch — the tunneled TPU runtime kills multi-minute scanned
+    programs, and the per-step cost here is kernel-bound anyway."""
+    cfg = gp.base.config
+    n_steps = steps if steps is not None else cfg.steps
+    dtype = gp.mp_g.dtype
+    u0 = gp.u_bc_g.astype(dtype)
+    p0 = jnp.zeros(gp.ns1 * gp.ns1, dtype=dtype)
+
+    key = (id(gp), "host")
+    hit = _RUN_CACHE.get(key)
+    if hit is not None and hit[0] is gp:
+        step = hit[1]
+    else:
+        step = jax.jit(lambda u, p: th_grid_step(gp, u, p))
+        _RUN_CACHE[key] = (gp, step)
+
+    if host_loop:
+        u, p = u0, p0
+        for _ in range(n_steps):
+            u, p, mets = step(u, p)
+    else:
+        @jax.jit
+        def scan_all(u0, p0):
+            def body(carry, _):
+                u, p = carry
+                u, p, mets = th_grid_step(gp, u, p)
+                return (u, p), mets
+
+            (u, p), mets = jax.lax.scan(body, (u0, p0), None, length=n_steps)
+            return u, p, jax.tree_util.tree_map(lambda x: x[-1], mets)
+
+        u, p, mets = scan_all(u0, p0)
+    u_out = jnp.asarray(np.asarray(u)[gp.perm2])
+    p_out = jnp.asarray(np.asarray(p)[gp.perm1])
+    return u_out, p_out, mets
