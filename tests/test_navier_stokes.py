@@ -229,3 +229,92 @@ def test_ns_f32_runs(mesh1):
     u, metrics = ns.run(problem, steps=20)
     assert u.dtype == jnp.float32
     assert np.isfinite(np.asarray(u)).all()
+
+
+def test_ns_grid_refill_matches_convection_apply():
+    """ops/gridop.GridRefill: the per-step C(u) scattered into grid-offset
+    diag planes applies identically to the matrix-free convection_apply."""
+    import jax.numpy as jnp
+    import tpufem
+    from tpufem.ops import assembly, calculus
+    from tpufem.ops.gridop import GridRefill
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    gr = GridRefill.build(mesh, 40, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2))) * 0.1
+    C = gr.refill(assembly.element_convection(mesh, u, variant="opsplit"))
+    x = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    ref = calculus.convection_apply(mesh, u, x, variant="opsplit")
+    np.testing.assert_allclose(
+        np.asarray(C.matvec(x)), np.asarray(ref), atol=1e-12
+    )
+
+
+def test_ns_grid_step_matches_stencil_matfree():
+    """cg_storage='grid_interpret' (whole-solve kernels: GridRefill'd
+    C(u) + in-kernel BiCGStab velocity + PressureGridCG pressure) follows
+    the stencil-XLA matfree trajectory, including with chunked dispatch."""
+    import tpufem
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    kw = dict(dt=1e-4, nu=1.0, solver="cg", precision="f64",
+              cg_iters_visc=60, cg_iters_pressure=160, cg_tol=1e-10)
+    ps = ns.NSProblem.build(mesh, ns.NSConfig(cg_storage="stencil", **kw))
+    pg = ns.NSProblem.build(
+        mesh, ns.NSConfig(cg_storage="grid_interpret", **kw)
+    )
+    assert pg.grid_refill is not None and pg.vel_solver_grid is not None
+    us, _ = ns.run(ps, steps=10, host_loop=True)
+    ug, mg = ns.run(pg, steps=10, host_loop=True)
+    np.testing.assert_allclose(
+        np.asarray(us), np.asarray(ug), atol=1e-9
+    )
+    uc, _ = ns.run(pg, steps=10, host_loop=True, chunk=5)
+    np.testing.assert_allclose(
+        np.asarray(uc), np.asarray(ug), atol=1e-12
+    )
+
+
+def test_ns_grid_bicgstab_kernel_matches_xla():
+    """NSGridBiCGStab (in-kernel BiCGStab, interpret mode) reproduces
+    solve/cg.py bicgstab_fixed on the same refilled operator."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import tpufem
+    from tpufem.ops import assembly
+    from tpufem.ops.gridop import GridRefill
+    from tpufem.solve.cg import bicgstab_fixed
+    from tpufem.solve.pallas_cg import NSGridBiCGStab
+
+    ns_ = 40
+    mesh = tpufem.generate_annulus_mesh(n_side=ns_, n_circle=48,
+                                        pad_hole=True)
+    n = mesh.n_nodes
+    gr = GridRefill.build(mesh, ns_, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((n, 2))) * 0.1
+    dt, nu = 1e-4, 1.0
+    Cg = gr.refill(assembly.element_convection(mesh, u, variant="opsplit"))
+    Kg = gr.refill(jnp.asarray(assembly.element_stiffness(mesh, signed=True)))
+    Ag = dc.replace(Cg, diags=dt * Cg.diags + nu * dt * Kg.diags,
+                    rest_vals=dt * Cg.rest_vals + nu * dt * Kg.rest_vals)
+    mask = jnp.ones(n)
+    invd = 1.0 / (1.0 + Ag.diag())
+    b = jnp.asarray(rng.standard_normal((n, 2)))
+    x0 = jnp.zeros((n, 2))
+    solver = NSGridBiCGStab(ns=ns_, offsets=gr.template.offsets,
+                            n_rest=gr.template.n_rest, iters=150, tol=0.0,
+                            interpret=True)
+    x = solver.solve(Ag, mask, invd, b, x0)
+
+    def a_mv(v):
+        return v + Ag.matvec(v)
+
+    for c in range(2):
+        xc, _ = bicgstab_fixed(a_mv, b[:, c], x0=x0[:, c], iters=150,
+                               precond=lambda r: invd * r)
+        np.testing.assert_allclose(
+            np.asarray(x[:, c]), np.asarray(xc), atol=1e-10
+        )

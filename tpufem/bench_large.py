@@ -325,6 +325,7 @@ def run_th_sparse(
     n_circle: int,
     steps: int,
     precision: str = "f64",
+    engine: str = "csr",
 ):
     """Timed sparse Taylor–Hood (Uzawa-CG) at scale, with the same-mesh
     P1/P1 projection divergence comparison (VERDICT r2 #7: the LBB-stable
@@ -362,6 +363,24 @@ def run_th_sparse(
             iters_inner=ii, iters_outer=io_, iters_plap=ip,
         ),
     )
+    if engine == "grid":
+        # the whole-solve-kernel engine (round 4): every Uzawa inner solve
+        # is one Pallas kernel over gridify_points rasters — the fix for
+        # the round-3 0.02 steps/s dispatch-bound CSR row.  The velocity
+        # solves early-exit on tolerance, so the h-scaled iters above act
+        # as caps, not budgets.
+        # tol_outer: early-exit the outer Schur CG on the relative
+        # residual — warm-started steps finish in a fraction of the
+        # h-scaled cap (measured at n_side=96 f32: 2.1 → 7.3 steps/s
+        # with the weak divergence IMPROVING 2.07e-5 → 1.84e-5)
+        gprob = th_sparse.GridTHProblem.build(
+            prob,
+            tol_inner=1e-8 if precision == "f64" else 1e-6,
+            tol_outer=1e-9 if precision == "f64" else 2e-6,
+        )
+        runner = lambda steps: th_sparse.run_grid(gprob, steps=steps)
+    else:
+        runner = lambda steps: th_sparse.run(prob, steps=steps, host_loop=True)
     t_build = time.perf_counter() - t0
 
     # host_loop: one dispatch per jitted step — the tunneled TPU runtime
@@ -369,12 +388,12 @@ def run_th_sparse(
     # reproducibly crashes the worker), and at seconds per step the
     # per-dispatch overhead is noise anyway
     t0 = time.perf_counter()
-    u1, _, _ = th_sparse.run(prob, steps=1, host_loop=True)
+    u1, _, _ = runner(1)
     np.asarray(u1)
     t_compile = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    u, _, mets = th_sparse.run(prob, steps=steps, host_loop=True)
+    u, _, mets = runner(steps)
     u_host = np.asarray(u)
     elapsed = time.perf_counter() - t0
     assert np.isfinite(u_host).all(), "sparse TH bench diverged"
@@ -417,6 +436,7 @@ def run_th_sparse(
         "steps": steps,
         "steps_per_sec": round(steps / elapsed, 2),
         "precision": precision,
+        "engine": engine,
         "build_s": round(t_build, 1),
         "compile_s": round(t_compile, 1),
         "max_u": float(np.abs(u_host).max()),
@@ -555,6 +575,10 @@ def main(argv=None):
                              "on the tunneled TPU even ONE f64 Uzawa step "
                              "at n_side=96 is a multi-minute dispatch the "
                              "runtime kills — the TPU-timed row runs f32")
+    parser.add_argument("--engine", default="csr", choices=["csr", "grid"],
+                        help="--th solver engine: csr (Uzawa-CG XLA ops) | "
+                             "grid (whole-solve Pallas kernels per inner "
+                             "solve — the TPU-speed LBB-stable path)")
     parser.add_argument("--hbm-io", default="auto",
                         help="cg_hbm_io: auto | on | off (XL kernel mode)")
     parser.add_argument("--out", default=None, help="write JSONL here too")
@@ -563,7 +587,8 @@ def main(argv=None):
     rows = []
     if args.th:
         r = run_th_sparse(args.n_side, args.n_side, args.steps,
-                          precision=args.precision or "f64")
+                          precision=args.precision or "f64",
+                          engine=args.engine)
         r["label"] = f"th-{args.n_side}"
         print(json.dumps(r), flush=True)
         rows.append(r)

