@@ -454,6 +454,8 @@ def run_ns(
     steps: int,
     precision: str = "f32",
     precond: str = "twolevel",
+    storage: str = "auto",
+    chunk: int = 5,
 ):
     """Timed matrix-free Navier–Stokes (implicit advection, BiCGStab
     velocity + pinned two-level PCG pressure) at mesh sizes the
@@ -491,17 +493,24 @@ def run_ns(
         cg_iters_visc=30,
         cg_iters_pressure=120,
         cg_tol=1e-5 if precision == "f32" else 1e-8,
+        cg_storage=storage,
     )
     prob = ns.NSProblem.build(mesh, cfg)
     t_build = time.perf_counter() - t0
+    # grid kernels (3 launches/step) finish a step in O(ms) — the tunnel's
+    # per-dispatch latency dominates at chunk=1, so scan `chunk` steps per
+    # dispatch (still far under the tunnel's multi-minute kill horizon);
+    # the XLA stencil step is seconds-long, keep it one dispatch per step
+    chunk_eff = chunk if prob.grid_refill is not None else 1
 
     t0 = time.perf_counter()
-    u, _ = ns.run(prob, steps=1, host_loop=True)
+    u, _ = ns.run(prob, steps=chunk_eff, host_loop=True, chunk=chunk_eff)
     np.asarray(u)
     t_compile = time.perf_counter() - t0
 
+    steps -= steps % chunk_eff
     t0 = time.perf_counter()
-    u, mets = ns.run(prob, steps=steps, host_loop=True)
+    u, mets = ns.run(prob, steps=steps, host_loop=True, chunk=chunk_eff)
     u_host = np.asarray(u, dtype=np.float64)
     elapsed = time.perf_counter() - t0
 
@@ -533,7 +542,9 @@ def run_ns(
         "steps_per_sec": round(steps / elapsed, 2),
         "precision": precision,
         "precond": precond,
-        "storage": type(prob.K_csr).__name__,
+        "storage": ("grid" if prob.grid_refill is not None
+                    else type(prob.K_csr).__name__),
+        "chunk": chunk_eff,
         "build_s": round(t_build, 1),
         "compile_s": round(t_compile, 1),
         "max_u": float(np.abs(u_host).max()),
