@@ -30,3 +30,16 @@ def test_heat_steady_state_is_bounded(mesh21):
     u, maxu = heat.run(mesh21, heat.HeatConfig(steps=200))
     assert float(np.asarray(maxu).max()) <= 1.0 + 1e-9
     assert np.isfinite(np.asarray(u)).all()
+
+
+def test_heat_cg_matches_dense_trajectory():
+    """solver='cg' (matrix-free warm-started BiCGStab on the exact
+    row-surgery A = I + dt·K_mod, reference quirks included) follows the
+    dense-LU trajectory to solver tolerance."""
+    import tpufem
+
+    m = tpufem.generate_annulus_mesh(n_side=32, n_circle=32)
+    ud, _ = heat.run(m, heat.HeatConfig(steps=50, solver="lu"))
+    uc, mc = heat.run(m, heat.HeatConfig(steps=50, solver="cg"))
+    np.testing.assert_allclose(np.asarray(ud), np.asarray(uc), atol=1e-8)
+    assert abs(float(np.asarray(mc)[-1]) - 1.0) < 1e-6

@@ -52,3 +52,65 @@ def test_poisson_generated_mesh(gen_mesh):
     f, residual = poisson.solve(gen_mesh)
     assert float(residual) < 1e-8
     assert np.isfinite(np.asarray(f)).all()
+
+
+def test_poisson_cg_matches_dense_on_generated_mesh():
+    """solver='cg' (matrix-free BiCGStab on the exact bc_surgery_csr
+    operator) reproduces the dense-LU solution to solver tolerance —
+    the ≥100k-node path (reference meshes cap at 1067 nodes)."""
+    import tpufem
+    from tpufem.workloads import poisson
+
+    m = tpufem.generate_annulus_mesh(n_side=32, n_circle=32)
+    fd, _ = poisson.solve(m, poisson.PoissonConfig(solver="lu"))
+    fc, rc = poisson.solve(m, poisson.PoissonConfig(solver="cg"))
+    np.testing.assert_allclose(np.asarray(fd), np.asarray(fc), atol=1e-8)
+    assert float(rc) < 1e-8
+
+
+def test_poisson_cg_refuses_noninjective_periodic_pairs():
+    """mesh2.1's duplicated periodic pair needs the dense path's
+    sequential elimination semantics — the CSR surgery refuses instead
+    of silently diverging."""
+    import pytest
+    import tpufem
+    from tpufem import config as cfg
+    from tpufem.workloads import poisson
+
+    mesh = tpufem.load_mesh(cfg.reference_mesh_path("mesh2.1"))
+    with pytest.raises(AssertionError, match="injective"):
+        poisson.solve(mesh, poisson.PoissonConfig(solver="cg"))
+
+
+def test_bc_surgery_csr_equals_dense_surgery():
+    """bc_surgery_csr reproduces periodic_elimination + dirichlet_rows
+    ENTRY-FOR-ENTRY on an injective-pair mesh."""
+    import jax.numpy as jnp
+    import tpufem
+    from tpufem import bc
+    from tpufem.ops import assembly
+    from tpufem.workloads import poisson
+
+    mesh = tpufem.generate_annulus_mesh(n_side=24, n_circle=24)
+    cfg_ = poisson.PoissonConfig()
+    A, b, boundary = poisson.build_system(mesh, cfg_)
+    K = assembly.assemble_csr(
+        mesh, assembly.element_stiffness(mesh, signed=True)
+    )
+    b0 = assembly.load_vector(mesh, cfg_.g_source, signed_area=True,
+                              negate=True)
+    K_mod, b_mod = bc.bc_surgery_csr(
+        K, boundary.masters, boundary.slaves, boundary.dirichlet, b=b0
+    )
+    values = np.full(len(boundary.dirichlet), cfg_.outer_value)
+    inner = set(boundary.inner.tolist())
+    for i, node in enumerate(boundary.dirichlet):
+        if int(node) in inner:
+            values[i] = cfg_.inner_value
+    b_mod = b_mod.at[jnp.asarray(boundary.dirichlet)].set(
+        jnp.asarray(values)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(K_mod.todense()), np.asarray(A)
+    )
+    np.testing.assert_array_equal(np.asarray(b_mod), np.asarray(b))

@@ -134,6 +134,75 @@ def periodic_elimination(A: jnp.ndarray, b: jnp.ndarray, masters, slaves):
     return jnp.asarray(A_np, dtype=A.dtype), jnp.asarray(b_np, dtype=b.dtype)
 
 
+def bc_surgery_csr(K, masters, slaves, dirichlet, b=None):
+    """Row-only BC surgery on a CSROperator — the matrix-free twin of
+    :func:`periodic_elimination` + :func:`dirichlet_rows` (the exact
+    operator the dense Poisson/heat parity path factors,
+    ``code/poisson.py:187-213`` + ``:271-273``), O(nnz) host work.
+
+    Injective periodic matching required (generated meshes guarantee it;
+    ``mesh2.1``'s duplicated pair needs the dense path's sequential
+    semantics — asserted here rather than silently diverging).
+
+    Returns ``(K_mod, b_mod)``: master rows summed with their slave rows,
+    slave rows replaced by the constraint x_s − x_m = 0, Dirichlet rows
+    replaced by identity (values enter via the caller's RHS entries).
+    ``b`` (optional) gets the matching row treatment."""
+    from tpufem.ops.sparse import csr_from_coo
+
+    masters = np.asarray(masters, dtype=np.int64)
+    slaves = np.asarray(slaves, dtype=np.int64)
+    dirichlet = np.asarray(dirichlet, dtype=np.int64)
+    assert len(np.unique(slaves)) == len(slaves), (
+        "bc_surgery_csr requires injective periodic matching "
+        "(use the dense path for meshes with duplicated pairs)"
+    )
+    n = K.shape[0]
+    rows = np.asarray(K.row_ids, dtype=np.int64)
+    cols = np.asarray(K.indices, dtype=np.int64)
+    data = np.asarray(K.data, dtype=np.float64)
+
+    master_of = np.full(n, -1, dtype=np.int64)
+    master_of[slaves] = masters
+    is_slave = np.zeros(n, dtype=bool)
+    is_slave[slaves] = True
+    is_diri = np.zeros(n, dtype=bool)
+    is_diri[dirichlet] = True
+
+    # A[m, :] += A[s, :]  (skip masters that are later Dirichlet-zeroed)
+    sel = is_slave[rows]
+    add_rows = master_of[rows[sel]]
+    keep_add = ~is_diri[add_rows]
+    extra = (add_rows[keep_add], cols[sel][keep_add], data[sel][keep_add])
+
+    # original rows survive unless slave or Dirichlet
+    keep = ~(is_slave[rows] | is_diri[rows])
+
+    # constraint rows x_s − x_m = 0 (Dirichlet wins on overlap, matching
+    # the dense call order: elimination first, dirichlet_rows after)
+    cs = slaves[~is_diri[slaves]]
+    cm = master_of[cs]
+    ones = np.ones(len(cs))
+
+    all_rows = np.concatenate(
+        [rows[keep], extra[0], cs, cs, dirichlet]
+    )
+    all_cols = np.concatenate(
+        [cols[keep], extra[1], cs, cm, dirichlet]
+    )
+    all_data = np.concatenate(
+        [data[keep], extra[2], ones, -ones, np.ones(len(dirichlet))]
+    )
+    K_mod = csr_from_coo(all_rows, all_cols, all_data, (n, n),
+                         sum_duplicates=True)
+    if b is None:
+        return K_mod, None
+    b_np = np.asarray(b).copy()
+    np.add.at(b_np, masters, b_np[slaves])  # repeated masters accumulate
+    b_np[slaves] = 0.0
+    return K_mod, jnp.asarray(b_np, dtype=b.dtype)
+
+
 def periodic_relabel_tris(tris: np.ndarray, masters, slaves) -> np.ndarray:
     """DOF-merge: rewrite slave node ids to their masters in connectivity.
 

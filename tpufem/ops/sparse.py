@@ -79,11 +79,23 @@ def self_rows(op: CSROperator) -> np.ndarray:
     return hit[1]
 
 
-def csr_from_coo(rows, cols, data, shape) -> CSROperator:
-    """CSR from host COO triplets (unique (row, col) pairs assumed —
-    the permutation of an already-assembled pattern)."""
+def csr_from_coo(rows, cols, data, shape,
+                 sum_duplicates: bool = False) -> CSROperator:
+    """CSR from host COO triplets.  Default assumes unique (row, col)
+    pairs (the permutation of an already-assembled pattern);
+    ``sum_duplicates=True`` coalesces repeated pairs by summation (the
+    BC-surgery row additions of :func:`tpufem.bc.bc_surgery_csr`)."""
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
+    data = np.asarray(data)
+    if sum_duplicates:
+        keys = rows * int(shape[1]) + cols
+        uniq, inv = np.unique(keys, return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(summed, inv, data.astype(np.float64))
+        rows = uniq // int(shape[1])
+        cols = uniq % int(shape[1])
+        data = summed
     order = np.lexsort((cols, rows))
     indptr = np.zeros(shape[0] + 1, dtype=np.int32)
     np.add.at(indptr, rows[order] + 1, 1)
@@ -91,7 +103,7 @@ def csr_from_coo(rows, cols, data, shape) -> CSROperator:
     return CSROperator(
         indptr=indptr,
         indices=cols[order].astype(np.int32),
-        data=jnp.asarray(np.asarray(data)[order]),
+        data=jnp.asarray(data[order]),
         shape=tuple(shape),
     )
 

@@ -196,10 +196,13 @@ def bicgstab_fixed(
     *,
     iters: int = 100,
     precond: Callable | None = None,
+    tol: float = 0.0,
 ):
     """BiCGStab with a static iteration count (scan-friendly) for
     NON-symmetric systems (per-step advection operators).  Right-
-    preconditioned; returns (x, residual_norm)."""
+    preconditioned; returns (x, residual_norm).  ``tol > 0`` switches to
+    a ``while_loop`` with relative-residual early exit (``iters`` becomes
+    the cap) — for one-shot large solves, not scan bodies."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = precond if precond is not None else (lambda r: r)
@@ -236,7 +239,21 @@ def bicgstab_fixed(
 
     zeros = jnp.zeros_like(b)
     one = jnp.asarray(1.0, dtype=b.dtype)
-    (x, r, *_), _ = jax.lax.scan(
-        body, (x0, r0, zeros, zeros, one, one, one), None, length=iters
-    )
+    st0 = (x0, r0, zeros, zeros, one, one, one)
+    if tol > 0:
+        atol2 = (tol * jnp.maximum(jnp.linalg.norm(b), 1e-30)) ** 2
+
+        def cond(st):
+            state, k = st
+            return jnp.logical_and(
+                k < iters, jnp.vdot(state[1], state[1]).real > atol2
+            )
+
+        def wbody(st):
+            state, k = st
+            return body(state, None)[0], k + 1
+
+        (x, r, *_), _ = jax.lax.while_loop(cond, wbody, (st0, jnp.int32(0)))
+        return x, jnp.linalg.norm(r)
+    (x, r, *_), _ = jax.lax.scan(body, st0, None, length=iters)
     return x, jnp.linalg.norm(r)

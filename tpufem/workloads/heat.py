@@ -41,9 +41,15 @@ class HeatConfig:
     L: float = 1.0
     H: float = 1.0
     tol: float = 1e-6
-    solver: str = "lu"
+    solver: str = "lu"  # "lu" | "inverse" (dense, ≤~4k nodes) | "cg":
+    # matrix-free BiCGStab on A = I + dt·K_mod with the EXACT row-surgery
+    # operator (bc.bc_surgery_csr — same matrix the dense path factors,
+    # reference quirks included), warm-started from uⁿ; the only path at
+    # ≥100k nodes (reference meshes cap at 1067, code/heatEq.py:320-333)
     precision: str = "f64"  # "f32": host-factored inverse applied as f32
     # MXU matvecs (fast TPU mode, like StokesConfig.precision)
+    cg_iters: int = 100
+    cg_tol: float = 1e-10
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +77,8 @@ class HeatProblem:
             H=config.H,
             tol=config.tol,
         )
+        if config.solver == "cg":
+            return _build_heat_matfree(mesh, config, pcfg)
         K, _, boundary = build_system(mesh, pcfg)  # BC-applied stiffness
         n = K.shape[0]
         A = jnp.eye(n, dtype=K.dtype) + config.dt * K  # heatEq.py:305
@@ -94,6 +102,59 @@ class HeatProblem:
             dirichlet_values=jnp.asarray(values),
             config=config,
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class _MatfreeHeatSolver:
+    """Per-step BiCGStab on ``A x = x + dt·K_mod x = b`` — K_mod is the
+    exact row-surgery operator of the dense path, so trajectories agree
+    to solver tolerance.  Warm-started from the RHS (uⁿ⁺¹ ≈ uⁿ: at
+    dt·λ ≪ 1 the system is identity-dominated — a handful of iterations
+    per step)."""
+
+    op: object  # stencil/CSR K_mod
+    inv_diag: jnp.ndarray
+    dt: float
+    iters: int
+    tol: float
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        from tpufem.solve.cg import bicgstab_fixed
+
+        mv = lambda x: x + self.dt * self.op.matvec(x)
+        pre = lambda r: self.inv_diag.astype(b.dtype) * r
+        x, _ = bicgstab_fixed(
+            mv, b, x0=b, iters=self.iters, precond=pre, tol=self.tol
+        )
+        return x
+
+
+def _build_heat_matfree(mesh, config, pcfg):
+    from tpufem.workloads.poisson import build_system_csr
+
+    op, _, _, boundary = build_system_csr(mesh, pcfg)
+    dtype = jnp.float32 if config.precision == "f32" else jnp.float64
+    if op.data.dtype != dtype:
+        op = op.with_data(op.data.astype(dtype))
+    diag_a = 1.0 + config.dt * op.diag()
+    inv_diag = jnp.where(diag_a != 0, 1.0 / diag_a, 1.0)
+    values = np.full(len(boundary.dirichlet), config.outer_value)
+    inner_set = set(boundary.inner.tolist())
+    for i, node in enumerate(boundary.dirichlet):
+        if int(node) in inner_set:
+            values[i] = config.inner_value
+    solver = _MatfreeHeatSolver(
+        op=op, inv_diag=inv_diag.astype(dtype), dt=config.dt,
+        iters=config.cg_iters, tol=config.cg_tol,
+    )
+    return HeatProblem(
+        solver=solver,
+        boundary=boundary,
+        dirichlet_values=jnp.asarray(values.astype(
+            np.float32 if config.precision == "f32" else np.float64
+        )),
+        config=config,
+    )
 
 
 def apply_field_bcs(problem: HeatProblem, u: jnp.ndarray) -> jnp.ndarray:

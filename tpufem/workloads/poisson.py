@@ -39,7 +39,15 @@ class PoissonConfig:
     tol: float = 1e-6
     signed_det: bool = True  # reference buildFemSystem divides by signed det
     periodic: bool = True
-    solver: str = "lu"
+    solver: str = "lu"  # "lu" | "inverse" (dense, ≤~4k nodes) | "cg":
+    # matrix-free BiCGStab on the EXACT row-surgery operator
+    # (bc.bc_surgery_csr — the same matrix the dense path factors, so
+    # solutions agree to solver tolerance), O(nnz) memory; the only path
+    # at ≥100k nodes (reference meshes cap at 1067, code/poisson.py:283)
+    cg_iters: int = 2000
+    cg_tol: float = 1e-10
+    cg_precond: str = "twolevel"  # | "jacobi"
+    cg_coarse_nodes: int = 2048
 
 
 def build_system(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
@@ -79,8 +87,80 @@ def _build_system(mesh: Mesh, config: PoissonConfig):
 
 def solve(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
     """Solve the Poisson problem; returns (f, residual_norm)."""
+    if config.solver == "cg":
+        return solve_cg(mesh, config)
     A, b, _ = build_system(mesh, config)
     solver = make_dense_solver(A, config.solver)
     f = solver.solve(b)
     residual = jnp.linalg.norm(A @ f - b)
     return f, residual
+
+
+def build_system_csr(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
+    """Matrix-free twin of :func:`build_system`: the BC-row-surgery
+    operator as CSR (stencil-offset where the numbering supports it) plus
+    the BC-applied load — same matrix/rhs the dense path materializes
+    (``code/poisson.py:187-278``), O(nnz) host work."""
+    from tpufem.ops.stencil import StencilOperator
+    from tpufem.utils.host import host_context
+
+    with host_context():
+        ke = assembly.element_stiffness(mesh, signed=config.signed_det)
+        K = assembly.assemble_csr(mesh, ke)
+        b = assembly.load_vector(
+            mesh, config.g_source, signed_area=config.signed_det, negate=True
+        )
+        boundary = bc.ChannelBoundary.build(
+            mesh, inner_marker=config.inner_marker, L=config.L, H=config.H,
+            tol=config.tol,
+        )
+        masters = boundary.masters if config.periodic else np.zeros(0, np.int64)
+        slaves = boundary.slaves if config.periodic else np.zeros(0, np.int64)
+        K_mod, b = bc.bc_surgery_csr(K, masters, slaves,
+                                     boundary.dirichlet, b=b)
+        values = np.full(len(boundary.dirichlet), config.outer_value)
+        inner_set = set(boundary.inner.tolist())
+        for i, node in enumerate(boundary.dirichlet):
+            if int(node) in inner_set:
+                values[i] = config.inner_value
+        b = b.at[jnp.asarray(boundary.dirichlet)].set(
+            jnp.asarray(values, dtype=b.dtype)
+        )
+        st = StencilOperator.build(K_mod, dtype=b.dtype)
+        op = st if st.coverage >= 0.9 else K_mod
+        return op, K_mod, b, boundary
+
+
+def solve_cg(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
+    """Matrix-free Poisson: Jacobi/two-level right-preconditioned
+    BiCGStab on the exact row-surgery operator (nonsymmetric at the
+    constraint/Dirichlet rows, SPD elsewhere).  Matches the dense path to
+    solver tolerance; scales to ≥1M nodes (``benchmarks/poisson_r4``)."""
+    from tpufem.solve.cg import bicgstab_fixed
+
+    op, K_csr, b, _ = build_system_csr(mesh, config)
+    diag = op.diag()
+    inv_diag = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
+    if config.cg_precond == "twolevel":
+        from tpufem.solve.twolevel import (build_twolevel,
+                                           twolevel_preconditioner)
+
+        tl = build_twolevel(
+            K_csr, np.asarray(mesh.coords), op.matvec, inv_diag,
+            target_coarse=config.cg_coarse_nodes, dtype=b.dtype,
+        )
+        precond = twolevel_preconditioner(op.matvec, inv_diag, tl)
+    else:
+        precond = lambda r: inv_diag * r
+
+    import jax
+
+    @jax.jit
+    def run(b):
+        return bicgstab_fixed(
+            op.matvec, b, iters=config.cg_iters, precond=precond,
+            tol=config.cg_tol,
+        )
+
+    f, res = run(b)
+    return f, res
