@@ -88,3 +88,16 @@ def test_th_study_machinery_toy_with_sparse_reference(monkeypatch):
     )
     assert len(rows) == 2
     assert all(np.isfinite(r["err_vs_taylor_hood"]) for r in rows)
+
+
+def test_ns_study_machinery_toy():
+    """run_ns_conv (the VERDICT r3 NS accuracy ladder) through two toy
+    rungs: finite errors, finest self-error 0, div_rel populated."""
+    from tpufem import convergence
+
+    rows = convergence.run_ns_conv(
+        sizes=[("a", 24, 24), ("b", 40, 48)], steps0=20, check=False
+    )
+    assert len(rows) == 2
+    assert rows[0]["err_vs_finest"] > rows[1]["err_vs_finest"] == 0.0
+    assert all(np.isfinite(r["div_rel"]) for r in rows)
