@@ -455,6 +455,39 @@ def test_sharded_matfree_stokes_step_stencil_matches_single():
     )
 
 
+def test_sharded_grid_stokes_step_matches_single(dmesh):
+    """Full space-sharded GRID-KERNEL projection step (VERDICT r3 next
+    #6): make_sharded_matfree_step over grid storage — sharded offset
+    matvecs with ppermute halos + element-sharded div/grad — ≡ the
+    single-device grid-kernel step to ≤1e-8."""
+    import tpufem
+    from tpufem.parallel.stokes_sharded import make_sharded_matfree_step
+    from tpufem.solve.pallas_cg import ViscousGridCG
+
+    mesh = tpufem.generate_annulus_mesh(n_side=28, n_circle=32, pad_hole=True)
+    cfg = stokes.StokesConfig(
+        solver="cg", cg_storage="grid_interpret", precision="f64",
+        cg_precond="twolevel", cg_iters_visc=25, cg_iters_pressure=40,
+        cg_warm_start=False, transport="none",
+    )
+    problem = stokes.StokesProblem.build(mesh, cfg)
+    assert isinstance(problem.visc_solver, ViscousGridCG)
+    sh_step = make_sharded_matfree_step(dmesh, problem)
+
+    state = stokes.initial_state(problem)
+    step_fn = stokes.make_step(problem)
+    u_sh = state["u"]
+    st = state
+    for _ in range(2):
+        u_sh, m_sh = sh_step(u_sh)
+        st, m_single = step_fn(st, None)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(st["u"]), atol=1e-8)
+    np.testing.assert_allclose(
+        float(m_sh["final_div_max"]), float(m_single["final_div_max"]),
+        rtol=1e-5,
+    )
+
+
 def test_sharded_matfree_stokes_step_matches_single(mesh1):
     """Full space-sharded matrix-free Stokes step (halo CG solves +
     element-sharded div/grad) ≡ single-device CG path."""
