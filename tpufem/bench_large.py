@@ -553,6 +553,128 @@ def run_ns(
     }
 
 
+def run_poisson_large(n_side: int, n_circle: int, precision: str = "f32"):
+    """Timed matrix-free Poisson solve (exact row-surgery operator +
+    two-level BiCGStab) at sizes the reference's dense
+    ``np.linalg.solve`` (code/poisson.py:283-287, O(N³) on ≤1067 nodes)
+    cannot touch.  Gated on the solver's own relative residual and on
+    the Dirichlet rows coming back at their prescribed values."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    enable_compile_cache()
+    import tpufem
+    from tpufem.workloads import poisson
+
+    t0 = time.perf_counter()
+    mesh = tpufem.generate_annulus_mesh(
+        n_side=n_side, n_circle=n_circle, pad_hole=True
+    )
+    cfg = poisson.PoissonConfig(
+        solver="cg", precision=precision,
+        cg_iters=2000, cg_tol=1e-6 if precision == "f32" else 1e-10,
+    )
+    run, op, b, boundary = poisson.make_cg_solver(mesh, cfg)
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    f, res = run(b)
+    f.block_until_ready()
+    t_compile_solve = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    f, res = run(b)
+    f_host = np.asarray(f, dtype=np.float64)
+    solve_s = time.perf_counter() - t0
+
+    assert np.isfinite(f_host).all(), "Poisson solve non-finite"
+    b_norm = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
+    res_rel = float(res) / max(b_norm, 1e-30)
+    assert res_rel < 1e-4, f"Poisson relative residual {res_rel:.2e} ≥ 1e-4"
+    # Dirichlet rows are identity rows after surgery: the solution must
+    # carry the prescribed wall/inner values to solver tolerance
+    inner_set = set(boundary.inner.tolist())
+    want = np.array([
+        cfg.inner_value if int(nd) in inner_set else cfg.outer_value
+        for nd in boundary.dirichlet
+    ])
+    bc_err = float(np.abs(f_host[boundary.dirichlet] - want).max())
+    assert bc_err < 1e-3, f"Poisson Dirichlet values off by {bc_err:.2e}"
+    return {
+        "workload": "poisson",
+        "n_nodes": int(mesh.n_nodes),
+        "n_tris": int(mesh.n_tris),
+        "precision": precision,
+        "storage": type(op).__name__,
+        "build_s": round(t_build, 1),
+        "compile_plus_solve_s": round(t_compile_solve, 1),
+        "solve_s": round(solve_s, 3),
+        "res_rel": res_rel,
+        "bc_err_max": bc_err,
+        "f_range": [float(f_host.min()), float(f_host.max())],
+    }
+
+
+def run_heat_large(n_side: int, n_circle: int, steps: int = 50,
+                   precision: str = "f32"):
+    """Timed matrix-free implicit-Euler heat run (warm-started BiCGStab
+    on A = I + dt·K_mod, reference quirks preserved) at sizes the
+    reference's per-run dense solve loop (code/heatEq.py:320-333, 600 ×
+    O(N³)) cannot touch.  Gated on boundedness: the wall/inner Dirichlet
+    drive keeps u in [0, 1] up to solver tolerance."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    enable_compile_cache()
+    import tpufem
+    from tpufem.workloads import heat
+
+    t0 = time.perf_counter()
+    mesh = tpufem.generate_annulus_mesh(
+        n_side=n_side, n_circle=n_circle, pad_hole=True
+    )
+    cfg = heat.HeatConfig(
+        solver="cg", precision=precision, steps=steps,
+        cg_iters=60, cg_tol=1e-6 if precision == "f32" else 1e-10,
+    )
+    # build once (heat.run caches the scan per problem identity)
+    problem = heat.HeatProblem.build(mesh, cfg)
+    t_build = time.perf_counter() - t0
+
+    u0 = heat.initial_state(problem, mesh.n_nodes)
+    step = heat.make_step(problem)
+
+    @jax.jit
+    def scan_all(u0):
+        return jax.lax.scan(step, u0, None, length=steps)
+
+    t0 = time.perf_counter()
+    u, maxu = scan_all(u0)
+    u.block_until_ready()
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    u, maxu = scan_all(u0)
+    u_host = np.asarray(u, dtype=np.float64)
+    elapsed = time.perf_counter() - t0
+
+    assert np.isfinite(u_host).all(), "heat run non-finite"
+    assert -1e-2 <= u_host.min() and u_host.max() <= 1.0 + 1e-2, (
+        f"heat field left [0,1]: [{u_host.min():.3e}, {u_host.max():.3e}]"
+    )
+    return {
+        "workload": "heat",
+        "n_nodes": int(mesh.n_nodes),
+        "n_tris": int(mesh.n_tris),
+        "steps": steps,
+        "steps_per_sec": round(steps / elapsed, 2),
+        "precision": precision,
+        "storage": type(problem.solver.op).__name__,
+        "build_s": round(t_build, 1),
+        "compile_s": round(t_compile, 1),
+        "u_range": [float(u_host.min()), float(u_host.max())],
+        "max_u_final": float(np.asarray(maxu)[-1]),
+    }
+
+
 def main(argv=None):
     import argparse
 
@@ -578,6 +700,10 @@ def main(argv=None):
     parser.add_argument("--ns", action="store_true",
                         help="matrix-free Navier–Stokes (implicit "
                              "advection) scaling rows instead of Stokes")
+    parser.add_argument("--poisson", action="store_true",
+                        help="matrix-free steady Poisson solve rows")
+    parser.add_argument("--heat", action="store_true",
+                        help="matrix-free implicit-Euler heat rows")
     parser.add_argument("--n-side", type=int, default=96,
                         help="--th mesh resolution (P2 dofs ≈ 4·n_side²)")
     parser.add_argument("--precision", default=None,
@@ -613,6 +739,23 @@ def main(argv=None):
             r["label"] = f"ns-{label}"
             print(json.dumps(r), flush=True)
             rows.append(r)
+    elif args.poisson or args.heat:
+        wanted = set(args.sizes.split(",")) if args.sizes else (
+            {"1.05M"} if args.poisson else {"160k"}
+        )
+        for label, n_side, n_circle in SIZES:
+            if label not in wanted:
+                continue
+            if args.poisson:
+                r = run_poisson_large(n_side, n_circle,
+                                      precision=args.precision or "f32")
+                r["label"] = f"poisson-{label}"
+            else:
+                r = run_heat_large(n_side, n_circle, args.steps,
+                                   precision=args.precision or "f32")
+                r["label"] = f"heat-{label}"
+            print(json.dumps(r), flush=True)
+            rows.append(r)
     elif args.mesh:
         r = run_imported(args.mesh, args.steps, precond=args.precond,
                          transport=args.transport,
@@ -640,7 +783,7 @@ def main(argv=None):
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
-    if args.th or args.ns:
+    if args.th or args.ns or args.poisson or args.heat:
         return rows
     print("\n| nodes | steps/s | CG iters/s | div_rel | storage | compile (s) |")
     print("|---|---|---|---|---|---|")

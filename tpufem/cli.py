@@ -129,6 +129,10 @@ def main(argv=None):
                         "P1/P1 divergence comparison")
     s.add_argument("--ns", action="store_true",
                    help="--large: matrix-free Navier–Stokes scaling rows")
+    s.add_argument("--poisson", action="store_true",
+                   help="--large: matrix-free steady Poisson rows")
+    s.add_argument("--heat", action="store_true",
+                   help="--large: matrix-free implicit-Euler heat rows")
     s.add_argument("--n-side", type=int, default=96,
                    help="--large --th mesh resolution")
     s.add_argument("--hbm-io", default=None,
@@ -178,6 +182,10 @@ def main(argv=None):
                 bench_argv += ["--th", "--n-side", str(args.n_side)]
             if args.ns:
                 bench_argv += ["--ns"]
+            if args.poisson:
+                bench_argv += ["--poisson"]
+            if args.heat:
+                bench_argv += ["--heat"]
             if args.hbm_io:
                 bench_argv += ["--hbm-io", args.hbm_io]
             if args.bench_precision:

@@ -47,6 +47,11 @@ class CSROperator:
     def with_data(self, data: jnp.ndarray) -> "CSROperator":
         return dataclasses.replace(self, data=data)
 
+    def astype(self, dtype) -> "CSROperator":
+        """Value-dtype cast (pattern unchanged) — mirrors
+        ``StencilOperator.astype``."""
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
     def diag(self) -> jnp.ndarray:
         rows = jnp.asarray(self.row_ids)
         is_diag = rows == jnp.asarray(self.indices)

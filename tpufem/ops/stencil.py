@@ -106,6 +106,16 @@ class StencilOperator:
             coverage=float(in_stencil.mean()) if len(off) else 1.0,
         )
 
+    def astype(self, dtype) -> "StencilOperator":
+        """Value-dtype cast (pattern unchanged) — mirrors
+        ``CSROperator.astype`` so matrix-free workloads can switch
+        precision without caring which materialization they hold."""
+        return dataclasses.replace(
+            self,
+            diags=self.diags.astype(dtype),
+            rest_data=self.rest_data.astype(dtype),
+        )
+
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         n = self.n
         pad = max(max(abs(o) for o in self.offsets), 1)

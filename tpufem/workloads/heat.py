@@ -134,8 +134,7 @@ def _build_heat_matfree(mesh, config, pcfg):
 
     op, _, _, boundary = build_system_csr(mesh, pcfg)
     dtype = jnp.float32 if config.precision == "f32" else jnp.float64
-    if op.data.dtype != dtype:
-        op = op.with_data(op.data.astype(dtype))
+    op = op.astype(dtype)
     diag_a = 1.0 + config.dt * op.diag()
     inv_diag = jnp.where(diag_a != 0, 1.0 / diag_a, 1.0)
     values = np.full(len(boundary.dirichlet), config.outer_value)

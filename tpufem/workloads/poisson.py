@@ -48,6 +48,9 @@ class PoissonConfig:
     cg_tol: float = 1e-10
     cg_precond: str = "twolevel"  # | "jacobi"
     cg_coarse_nodes: int = 2048
+    precision: str = "f64"  # "f32": cast the surgery operator + rhs for
+    # the fast TPU mode (v5e f64 is emulated ~100× slower); the dense
+    # parity paths stay f64
 
 
 def build_system(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
@@ -131,14 +134,16 @@ def build_system_csr(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
         return op, K_mod, b, boundary
 
 
-def solve_cg(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
-    """Matrix-free Poisson: Jacobi/two-level right-preconditioned
-    BiCGStab on the exact row-surgery operator (nonsymmetric at the
-    constraint/Dirichlet rows, SPD elsewhere).  Matches the dense path to
-    solver tolerance; scales to ≥1M nodes (``benchmarks/poisson_r4``)."""
+def make_cg_solver(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
+    """(run, op, b, boundary) for the matrix-free path: ``run(b)`` is the
+    jitted BiCGStab solve on the exact row-surgery operator (split out of
+    :func:`solve_cg` so benchmarks can time build/compile/solve apart)."""
     from tpufem.solve.cg import bicgstab_fixed
 
-    op, K_csr, b, _ = build_system_csr(mesh, config)
+    op, K_csr, b, boundary = build_system_csr(mesh, config)
+    if config.precision == "f32":
+        op = op.astype(jnp.float32)
+        b = b.astype(jnp.float32)
     diag = op.diag()
     inv_diag = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
     if config.cg_precond == "twolevel":
@@ -162,5 +167,14 @@ def solve_cg(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
             tol=config.cg_tol,
         )
 
+    return run, op, b, boundary
+
+
+def solve_cg(mesh: Mesh, config: PoissonConfig = PoissonConfig()):
+    """Matrix-free Poisson: Jacobi/two-level right-preconditioned
+    BiCGStab on the exact row-surgery operator (nonsymmetric at the
+    constraint/Dirichlet rows, SPD elsewhere).  Matches the dense path to
+    solver tolerance; scales to ≥1M nodes (``benchmarks/poisson_r4``)."""
+    run, op, b, _ = make_cg_solver(mesh, config)
     f, res = run(b)
     return f, res
