@@ -1,0 +1,187 @@
+"""Roofline / bandwidth accounting for the whole-solve grid kernels.
+
+VERDICT r3 next #7: steps/s is the product metric, but nothing showed how
+close the kernels are to the chip.  This module times the pressure and
+viscous whole-solve kernels at FIXED iteration counts (tol=0, so every
+iteration runs) and converts the measured per-iteration time into HBM
+traffic against the v5e's 819 GB/s peak.
+
+Traffic model (per CG iteration, from the kernel structure in
+solve/pallas_cg.py):
+
+* **streamed forms** (``stream_diags``, auto ≥360k nodes): every
+  ``apply_K`` re-streams the stacked diag planes from HBM through the
+  double-buffered VMEM scratch — ``bytes/apply = pad_even(n_off) · ns² ·
+  itemsize``.  The two-level pressure preconditioner costs 2 applies +
+  1 in the CG advance = **3 applies/iteration**; Jacobi-preconditioned
+  viscous CG costs **1 apply/column-iteration** (the kernel runs its 2
+  velocity columns as sequential CG solves).  CG vectors stay
+  VMEM-resident; the one-hot remainder and coarse correction move only
+  O(Mp·ns + nc²) bytes — counted but negligible.
+* **all-VMEM forms** (<360k nodes): every operand is copied HBM→VMEM
+  once per *solve* (kernel launch), so per-iteration HBM traffic is the
+  operand footprint amortized over the iteration count; the loop itself
+  is VPU/VMEM-bound.  We report the same effective-GB/s number (it is
+  then a lower bound on the VMEM bandwidth actually sustained) plus the
+  achieved f32 FLOP rate (2·n_off·ns² FMA = 4·n_off·ns² flops/apply).
+
+Numbers move with tunnel health — A/B in one process only (TODO.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+V5E_HBM_GBPS = 819.0  # public v5e spec: 16 GB HBM2 @ 819 GB/s
+
+
+def _pad_even(n: int) -> int:
+    return n + (n % 2)
+
+
+def _time_best(fn, reps: int = 5):
+    """Best-of-reps wall time of a blocking call (one process, warm)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure(n_side: int, n_circle: int, iters_p: int = 120,
+            iters_v: int = 30, reps: int = 5, label: str | None = None,
+            hbm_io: str = "auto", storage: str = "auto"):
+    """One roofline row: build the bench problem at this size, time the
+    two whole-solve kernels at fixed iteration counts, convert to GB/s."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from tpufem import bench_large
+    import tpufem
+
+    bench_large.enable_compile_cache()
+    t0 = time.perf_counter()
+    mesh = tpufem.generate_annulus_mesh(
+        n_side=n_side, n_circle=n_circle, pad_hole=True
+    )
+    from tpufem.workloads import stokes
+
+    config = bench_large.bench_config(
+        "twolevel", n_nodes=int(mesh.n_nodes), transport="none",
+        storage=storage, hbm_io=hbm_io,
+    )
+    problem = stokes.StokesProblem.build(mesh, config)
+    build_s = time.perf_counter() - t0
+
+    ps = dataclasses.replace(problem.pressure_solver, tol=0.0, iters=iters_p)
+    vs = dataclasses.replace(problem.visc_solver, tol=0.0, iters=iters_v)
+    ns = ps.K.ns
+    itemsize = np.dtype(np.asarray(ps.K.diags).dtype).itemsize
+    n_off_p, n_off_v = len(ps.K.offsets), len(vs.K.offsets)
+    plane = ns * ns * itemsize
+
+    rng = np.random.default_rng(0)
+    dtype = np.float32 if itemsize == 4 else np.float64
+    bp = jnp.asarray(rng.standard_normal(ns * ns).astype(dtype))
+    bv = jnp.asarray(rng.standard_normal((ns * ns, 2)).astype(dtype))
+
+    import jax as _jax
+
+    solve_p = _jax.jit(lambda b: ps.solve(b))
+    solve_v = _jax.jit(lambda b: vs.solve(b))
+    t0 = time.perf_counter()
+    solve_p(bp).block_until_ready()
+    solve_v(bv).block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    t_p = _time_best(lambda: solve_p(bp).block_until_ready(), reps)
+    t_v = _time_best(lambda: solve_v(bv).block_until_ready(), reps)
+
+    streamed = bool(getattr(ps, "stream_diags", False))
+    # per-apply HBM bytes (streamed) or per-solve operand footprint (VMEM)
+    bytes_apply_p = _pad_even(n_off_p) * plane
+    bytes_apply_v = _pad_even(n_off_v) * plane
+    applies_p = 3 if ps.use_coarse else 1  # 2 in precond + 1 in advance
+    if streamed:
+        hbm_bytes_p = applies_p * iters_p * bytes_apply_p
+        hbm_bytes_v = 2 * iters_v * bytes_apply_v  # 2 sequential columns
+    else:
+        # operands cross HBM once per launch (+ b in, x out)
+        hbm_bytes_p = (n_off_p + 8) * plane  # planes + masks/ml/invd/b/out
+        hbm_bytes_v = (n_off_v + 8) * plane  # planes + mask/invd/b/x0/out
+    gbps_p = hbm_bytes_p / t_p / 1e9
+    gbps_v = hbm_bytes_v / t_v / 1e9
+    # achieved f32 FLOPs in the offset FMAs alone (4 flops per FMA pair
+    # per point per offset: mul+add over real planes, pads are zero work)
+    flops_p = applies_p * iters_p * 2 * n_off_p * ns * ns / t_p
+    flops_v = 2 * iters_v * 2 * n_off_v * ns * ns / t_v
+
+    row = {
+        "label": label or f"{ns}x{ns}",
+        "n_nodes": int(mesh.n_nodes),
+        "ns": int(ns),
+        "form": ("xl" if getattr(ps, "hbm_io", False)
+                 else "stream" if streamed else "vmem"),
+        "itemsize": itemsize,
+        "n_off_p": n_off_p,
+        "n_off_v": n_off_v,
+        "iters_p": iters_p,
+        "iters_v": iters_v,
+        "t_pressure_s": round(t_p, 4),
+        "t_viscous_s": round(t_v, 4),
+        "us_per_p_iter": round(t_p / iters_p * 1e6, 1),
+        "us_per_v_coliter": round(t_v / (2 * iters_v) * 1e6, 1),
+        "hbm_gbps_pressure": round(gbps_p, 1),
+        "hbm_gbps_viscous": round(gbps_v, 1),
+        "pct_peak_pressure": round(100 * gbps_p / V5E_HBM_GBPS, 1),
+        "pct_peak_viscous": round(100 * gbps_v / V5E_HBM_GBPS, 1),
+        "gflops_pressure": round(flops_p / 1e9, 1),
+        "gflops_viscous": round(flops_v / 1e9, 1),
+        "build_s": round(build_s, 1),
+        "compile_s": round(compile_s, 1),
+    }
+    return row
+
+
+SIZES = [
+    ("160k", 400, 448),
+    ("410k", 640, 720),
+    ("1.05M", 1024, 1088),
+]
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="tpufem roofline")
+    parser.add_argument("--sizes", default=None)
+    parser.add_argument("--iters-p", type=int, default=120)
+    parser.add_argument("--iters-v", type=int, default=30)
+    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    wanted = set(args.sizes.split(",")) if args.sizes else None
+    rows = []
+    for label, n_side, n_circle in SIZES:
+        if wanted is not None and label not in wanted:
+            continue
+        r = measure(n_side, n_circle, iters_p=args.iters_p,
+                    iters_v=args.iters_v, reps=args.reps, label=label)
+        print(json.dumps(r), flush=True)
+        rows.append(r)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return rows
+
+
+if __name__ == "__main__":
+    main()
