@@ -378,9 +378,11 @@ def run_th_sparse(
             tol_inner=1e-8 if precision == "f64" else 1e-6,
             tol_outer=1e-9 if precision == "f64" else 2e-6,
         )
-        runner = lambda steps: th_sparse.run_grid(gprob, steps=steps)
+        runner = lambda steps, **kw: th_sparse.run_grid(
+            gprob, steps=steps, **kw)
     else:
-        runner = lambda steps: th_sparse.run(prob, steps=steps, host_loop=True)
+        runner = lambda steps, **kw: th_sparse.run(
+            prob, steps=steps, host_loop=True, **kw)
     t_build = time.perf_counter() - t0
 
     # host_loop: one dispatch per jitted step — the tunneled TPU runtime
@@ -393,10 +395,16 @@ def run_th_sparse(
     t_compile = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    u, _, mets = runner(steps)
+    u, _, mets, th_state = runner(steps, return_state=True)
     u_host = np.asarray(u)
     elapsed = time.perf_counter() - t0
     assert np.isfinite(u_host).all(), "sparse TH bench diverged"
+
+    # steady-state continuation (VERDICT r3 next #9)
+    t0 = time.perf_counter()
+    u2, _, _ = runner(steps, state=th_state)
+    np.asarray(u2)
+    th_warm_sps = steps / (time.perf_counter() - t0)
 
     th_weak = float(np.abs(np.asarray(prob.b_apply(u))).max())
     th_div = float(np.asarray(mets["final_div_max"]))
@@ -435,6 +443,7 @@ def run_th_sparse(
         "device": jax.default_backend(),
         "steps": steps,
         "steps_per_sec": round(steps / elapsed, 2),
+        "warm_steps_per_sec": round(th_warm_sps, 2),
         "precision": precision,
         "engine": engine,
         "build_s": round(t_build, 1),
@@ -510,9 +519,18 @@ def run_ns(
 
     steps -= steps % chunk_eff
     t0 = time.perf_counter()
-    u, mets = ns.run(prob, steps=steps, host_loop=True, chunk=chunk_eff)
+    u, mets, state = ns.run(prob, steps=steps, host_loop=True,
+                            chunk=chunk_eff, return_state=True)
     u_host = np.asarray(u, dtype=np.float64)
     elapsed = time.perf_counter() - t0
+
+    # steady-state continuation (VERDICT r3 next #9): early from-rest
+    # steps pay full solver budgets until warm starts converge
+    t0 = time.perf_counter()
+    u2, _ = ns.run(prob, steps=steps, host_loop=True, chunk=chunk_eff,
+                   state=state)
+    np.asarray(u2)
+    warm_sps = steps / (time.perf_counter() - t0)
 
     assert np.isfinite(u_host).all(), "NS bench diverged (non-finite u)"
     # boundedness: an impulsively-forced viscous channel cannot exceed the
@@ -540,6 +558,7 @@ def run_ns(
         "n_tris": int(mesh.n_tris),
         "steps": steps,
         "steps_per_sec": round(steps / elapsed, 2),
+        "warm_steps_per_sec": round(warm_sps, 2),
         "precision": precision,
         "precond": precond,
         "storage": ("grid" if prob.grid_refill is not None

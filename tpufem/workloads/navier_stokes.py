@@ -879,8 +879,14 @@ _RUN_CACHE: dict[tuple[int, int], Any] = {}
 
 
 def run(problem: NSProblem, steps: int | None = None,
-        host_loop: bool = False, chunk: int = 1):
+        host_loop: bool = False, chunk: int = 1, state=None,
+        return_state: bool = False):
     """Scan the NS stepper; returns (u, metrics).
+
+    ``state=(u, p)`` continues from a previous run's fields instead of
+    rest and ``return_state=True`` appends the ``(u, p)`` carry to the
+    return (host_loop path only) — used by the bench's steady-state
+    (warm-continued) throughput column.
 
     ``host_loop=True`` drives one jitted step from a Python loop instead
     of one scanned program (final-step metrics only, matching the
@@ -928,8 +934,11 @@ def run(problem: NSProblem, steps: int | None = None,
                 lambda u, p: ns_step(problem, u) + (p,)
             )  # (u, metrics, p) — dense path carries no pressure
             _RUN_CACHE[key] = (problem, step)
-        u = u0
-        p = jnp.zeros(problem.mesh.n_nodes, dtype=dtype)
+        if state is not None:
+            u, p = state
+        else:
+            u = u0
+            p = jnp.zeros(problem.mesh.n_nodes, dtype=dtype)
         if cfg.solver == "cg":
             assert n_steps % chunk == 0, (n_steps, chunk)
             for _ in range(n_steps // chunk):
@@ -937,6 +946,8 @@ def run(problem: NSProblem, steps: int | None = None,
         else:
             for _ in range(n_steps):
                 u, mets, p = step(u, p)
+        if return_state:
+            return u, mets, (u, p)
         return u, mets
 
     key = (id(problem), n_steps)

@@ -299,7 +299,7 @@ _RUN_CACHE: dict = {}
 
 
 def run(problem: SparseTHProblem, steps: int | None = None,
-        host_loop: bool = False):
+        host_loop: bool = False, state=None, return_state: bool = False):
     """Scan the stepper → (u (N2,2), p (N1,), stacked metrics).
 
     ``host_loop=True`` drives one jitted step from a Python loop instead
@@ -321,9 +321,11 @@ def run(problem: SparseTHProblem, steps: int | None = None,
         else:
             step = jax.jit(lambda u, p: th_sparse_step(problem, u, p))
             _RUN_CACHE[key] = (problem, step)
-        u, p = u0, p0
+        u, p = state if state is not None else (u0, p0)
         for _ in range(n_steps):
             u, p, mets = step(u, p)
+        if return_state:
+            return u, p, mets, (u, p)
         return u, p, mets
 
     key = (id(problem), n_steps)
@@ -695,7 +697,8 @@ def th_grid_step(gp: GridTHProblem, u: jnp.ndarray, p0: jnp.ndarray):
 
 
 def run_grid(gp: GridTHProblem, steps: int | None = None,
-             host_loop: bool = True):
+             host_loop: bool = True, state=None,
+             return_state: bool = False):
     """Drive the grid engine → (u (N2, 2) in ORIGINAL numbering, p (N1,),
     final-step metrics).  ``host_loop=True`` (default) keeps each step its
     own dispatch — the tunneled TPU runtime kills multi-minute scanned
@@ -715,7 +718,7 @@ def run_grid(gp: GridTHProblem, steps: int | None = None,
         _RUN_CACHE[key] = (gp, step)
 
     if host_loop:
-        u, p = u0, p0
+        u, p = state if state is not None else (u0, p0)
         for _ in range(n_steps):
             u, p, mets = step(u, p)
     else:
@@ -732,4 +735,7 @@ def run_grid(gp: GridTHProblem, steps: int | None = None,
         u, p, mets = scan_all(u0, p0)
     u_out = jnp.asarray(np.asarray(u)[gp.perm2])
     p_out = jnp.asarray(np.asarray(p)[gp.perm1])
+    if return_state:
+        # raw grid-numbered carries — feed back via ``state=`` to continue
+        return u_out, p_out, mets, (u, p)
     return u_out, p_out, mets
