@@ -179,12 +179,25 @@ def physics_report(problem, state, metrics, steps, gate: str = "stokes"):
     assert fd[-1] < 5.0 * (fd[: max(2, steps // 10)].max() + 1.0), (
         "divergence did not plateau: %r" % fd[:: max(1, steps // 8)]
     )
-    return {
+    row = {
         "div_star_max": float(np.asarray(metrics["div_star_max"])[-1]),
         "final_div_max": float(fd[-1]),
         "div_rel": round(div_rel, 4),
         "max_u": float(np.abs(u).max()),
     }
+    if "c" in state:
+        # dye gates (VERDICT r3 next #4): concentration stays physical
+        # and the flow actually mixes (variance strictly below var₀)
+        c = np.asarray(state["c"], dtype=np.float64)
+        assert np.isfinite(c).all(), "dye field non-finite"
+        assert -0.05 <= c.min() and c.max() <= 1.05, (
+            f"dye concentration left [0,1]: [{c.min():.3f}, {c.max():.3f}]"
+        )
+        prog = np.asarray(metrics["mixing_progress"], dtype=np.float64)
+        assert prog[-1] > 0.0, f"mixing index not advancing: {prog[-1]}"
+        row["c_range"] = [float(c.min()), float(c.max())]
+        row["mixing_progress"] = float(prog[-1])
+    return row
 
 
 def run_problem(problem, steps: int):
