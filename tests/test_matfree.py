@@ -585,6 +585,38 @@ def test_hbm_io_interpret_matches_streamed(sloop):
     np.testing.assert_array_equal(np.asarray(s_a["u"]), np.asarray(s_b["u"]))
 
 
+@pytest.mark.parametrize("sloop", ["on", "off"])
+def test_precond_bf16_converges_to_same_solution(sloop):
+    """cg_precond_bf16: the preconditioner's two K-applies stream a bf16
+    plane copy (round-4 roofline: 2 of 3 plane streams per two-level
+    iteration at half width).  The preconditioner changes, the operator
+    does not — with tolerance CG both forms must converge to the same
+    fields.  Covered over both DMA pipeline forms."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(solver="cg", cg_precond="twolevel",
+                cg_iters_visc=60, cg_iters_pressure=120,
+                cg_tol_visc=1e-8, cg_tol_pressure=1e-8,
+                cg_warm_start=True, cg_storage="grid_interpret",
+                cg_stream_diags="on", cg_stream_loop=sloop)
+    pg_16 = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_precond_bf16="on", **base)
+    )
+    pg_32 = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_precond_bf16="off", **base)
+    )
+    assert pg_16.pressure_solver.precond_bf16
+    assert not pg_32.pressure_solver.precond_bf16
+    s_a, m_a = stokes.run(pg_16, steps=3)
+    s_b, m_b = stokes.run(pg_32, steps=3)
+    np.testing.assert_allclose(
+        np.asarray(s_a["u"]), np.asarray(s_b["u"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(m_a["final_div_max"])[-1]),
+        float(np.asarray(m_b["final_div_max"])[-1]), rtol=1e-3,
+    )
+
+
 def test_fused_grid_step_matches_unfused():
     """GridStokesStep (the whole double-projection step in ONE kernel)
     reproduces the unfused grid-solver path.  Tolerance reflects CG

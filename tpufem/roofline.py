@@ -55,7 +55,8 @@ def _time_best(fn, reps: int = 5):
 
 def measure(n_side: int, n_circle: int, iters_p: int = 120,
             iters_v: int = 30, reps: int = 5, label: str | None = None,
-            hbm_io: str = "auto", storage: str = "auto"):
+            hbm_io: str = "auto", storage: str = "auto",
+            precond_bf16: str = "off"):
     """One roofline row: build the bench problem at this size, time the
     two whole-solve kernels at fixed iteration counts, convert to GB/s."""
     import jax
@@ -76,6 +77,7 @@ def measure(n_side: int, n_circle: int, iters_p: int = 120,
         "twolevel", n_nodes=int(mesh.n_nodes), transport="none",
         storage=storage, hbm_io=hbm_io,
     )
+    config = dataclasses.replace(config, cg_precond_bf16=precond_bf16)
     problem = stokes.StokesProblem.build(mesh, config)
     build_s = time.perf_counter() - t0
 
@@ -108,8 +110,11 @@ def measure(n_side: int, n_circle: int, iters_p: int = 120,
     bytes_apply_p = _pad_even(n_off_p) * plane
     bytes_apply_v = _pad_even(n_off_v) * plane
     applies_p = 3 if ps.use_coarse else 1  # 2 in precond + 1 in advance
+    pb = bool(getattr(ps, "precond_bf16", False))
+    # bf16 precond: the 2 preconditioner applies stream half-width planes
+    eff_applies_p = (2.0 if pb else 3.0) if ps.use_coarse else 1.0
     if streamed:
-        hbm_bytes_p = applies_p * iters_p * bytes_apply_p
+        hbm_bytes_p = eff_applies_p * iters_p * bytes_apply_p
         hbm_bytes_v = 2 * iters_v * bytes_apply_v  # 2 sequential columns
     else:
         # operands cross HBM once per launch (+ b in, x out)
@@ -128,6 +133,7 @@ def measure(n_side: int, n_circle: int, iters_p: int = 120,
         "ns": int(ns),
         "form": ("xl" if getattr(ps, "hbm_io", False)
                  else "stream" if streamed else "vmem"),
+        "precond_bf16": bool(getattr(ps, "precond_bf16", False)),
         "itemsize": itemsize,
         "n_off_p": n_off_p,
         "n_off_v": n_off_v,

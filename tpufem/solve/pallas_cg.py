@@ -138,6 +138,13 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
         if acc is not None:
             acc[:] = jnp.zeros(acc.shape, acc.dtype)
         rd = (lambda: x_ref[:]) if x_ref is not None else (lambda: X)
+        # planes may be stored narrower than the vectors (bf16 diag
+        # stacks for preconditioner applies — 2 of the 3 plane streams
+        # per two-level pressure iteration tolerate bf16 rounding, so
+        # storing a second bf16 stack cuts streamed bytes ~33%); cast
+        # at use, accumulation stays in the vector dtype
+        xdt = x_ref.dtype if x_ref is not None else X.dtype
+        up = lambda v: v if v.dtype == xdt else v.astype(xdt)
         if stream and stream_loop:
             # Dynamic-plane double-buffer: ``d`` is ONE stacked
             # (_pad_even(n_off), ns, ns) HBM ref, the pipeline a fori_loop
@@ -171,10 +178,10 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 def body(i, Y):
                     g0 = 2 * i
                     dma(g0, 0).wait()
-                    Y = Y + scratch[0][:] * roll_g(g0)
+                    Y = Y + up(scratch[0][:]) * roll_g(g0)
                     dma(g0 + 2, 0).start()
                     dma(g0 + 1, 1).wait()
-                    Y = Y + scratch[1][:] * roll_g(g0 + 1)
+                    Y = Y + up(scratch[1][:]) * roll_g(g0 + 1)
                     dma(g0 + 3, 1).start()
                     return Y
 
@@ -189,10 +196,10 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 def body_acc(i, c):
                     g0 = 2 * i
                     dma(g0, 0).wait()
-                    acc[:] = acc[:] + scratch[0][:] * roll_g(g0)
+                    acc[:] = acc[:] + up(scratch[0][:]) * roll_g(g0)
                     dma(g0 + 2, 0).start()
                     dma(g0 + 1, 1).wait()
-                    acc[:] = acc[:] + scratch[1][:] * roll_g(g0 + 1)
+                    acc[:] = acc[:] + up(scratch[1][:]) * roll_g(g0 + 1)
                     dma(g0 + 3, 1).start()
                     return c
 
@@ -226,7 +233,7 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 if g + 1 < n_off:
                     get_dma((g + 1) % 2, g + 1).start()
                 get_dma(slot, g).wait()
-                term = scratch[slot][:] * _roll2(rd(), dy, s, ns, interpret)
+                term = up(scratch[slot][:]) * _roll2(rd(), dy, s, ns, interpret)
                 if acc is not None:
                     acc[:] = acc[:] + term
                 else:
@@ -247,19 +254,19 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
 
             if acc is None:
                 Y = jax.lax.fori_loop(
-                    0, len(offsets), lambda g, Y: Y + d[g] * rolled(g),
+                    0, len(offsets), lambda g, Y: Y + up(d[g]) * rolled(g),
                     jnp.zeros_like(rd()),
                 )
             else:
                 def body_acc(g, c):
-                    acc[:] = acc[:] + d[g] * rolled(g)
+                    acc[:] = acc[:] + up(d[g]) * rolled(g)
                     return c
 
                 jax.lax.fori_loop(0, len(offsets), body_acc, jnp.int32(0))
         else:
             Y = None if acc is not None else jnp.zeros_like(rd())
             for g, (dy, s) in enumerate(offsets):
-                term = d[g] * _roll2(rd(), dy, s, ns, interpret)
+                term = up(d[g]) * _roll2(rd(), dy, s, ns, interpret)
                 if acc is not None:
                     acc[:] = acc[:] + term
                 else:
@@ -703,6 +710,16 @@ class PressureGridCG:
     # interpret tests cover the lean math without DMA streaming
     hbm_io: bool = False  # XL mode: b/x0/out in HBM + ref-carried CG
     # (see ViscousGridCG.hbm_io).  Requires stream_diags; implies lean.
+    precond_bf16: bool = False  # streamed two-level only: keep a SECOND
+    # bf16 copy of the diag planes in HBM and stream IT for the
+    # preconditioner's two K-applies (the CG advance keeps f32) — 2 of
+    # the 3 plane streams per iteration at half width ⇒ ~33% less HBM
+    # traffic where the roofline says the kernel is DMA-limited
+    # (BASELINE.md round-4 roofline: 46% of peak at 1.05M).  Safe: the
+    # preconditioner stays a fixed symmetric linear operator (bf16
+    # rounding of a symmetric plane set is symmetric), only its quality
+    # changes at the ~0.4% level — same rationale as the bf16 coarse
+    # inverse above.
 
     @classmethod
     def build(
@@ -722,6 +739,7 @@ class PressureGridCG:
         stream_diags: bool = False,
         stream_loop: bool = False,
         hbm_io: bool = False,
+        precond_bf16: bool = False,
     ) -> "PressureGridCG":
         from tpufem.solve.cg import estimate_lmax
         from tpufem.solve.twolevel import coarse_inverse, galerkin_coarse
@@ -805,6 +823,7 @@ class PressureGridCG:
             stream_diags=stream_diags,
             stream_loop=stream_loop,
             hbm_io=hbm_io,
+            precond_bf16=precond_bf16 and stream_diags and use_coarse,
         )
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -822,6 +841,7 @@ class PressureGridCG:
         sloop = stream and self.stream_loop and (interpret or ns % 128 == 0)
         hbm = self.hbm_io
         assert not hbm or stream, "hbm_io requires stream_diags"
+        pb16 = self.precond_bf16 and stream and use_coarse
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
                               stream_loop=sloop)
         n_rest = K.n_rest
@@ -845,10 +865,14 @@ class PressureGridCG:
             sh = refs[0]
             if stream and not sloop:
                 d = refs[1:1 + n_off]
-                rest = refs[1 + n_off:]
+                k = 1 + n_off
+                d16 = refs[k:k + n_off] if pb16 else None
+                k += n_off if pb16 else 0
+                rest = refs[k:]
             else:
                 d = refs[1]
-                rest = refs[2:]
+                d16 = refs[2] if pb16 else None
+                rest = refs[3 if pb16 else 2:]
             if lean:
                 (gr, gl, sr, sl, vals, act, invd, pr, prt, plm, plt,
                  acinv, fa, fat, fb, b, x0, out) = rest[:18]
@@ -861,6 +885,7 @@ class PressureGridCG:
                 (gr, gl, sr, sl, vals, ml, act, mmask, smask, invd, pr,
                  prt, plm, plt, acinv, fa, fat, fb, b, x0, out) = rest[:21]
                 scr = rest[21:]
+            scr16 = scr[3:6] if pb16 else None  # bf16 buffer pair + sem
             ww = jnp.sum(act[:] * act[:])
 
             def mv(X):
@@ -868,6 +893,16 @@ class PressureGridCG:
                     d, gr, gl, sr, sl, vals, X, n_rest, sh=sh,
                     scratch=scr[:2] if scr else None,
                     sem=scr[2] if scr else None,
+                )
+
+            def mvp(X):
+                """Preconditioner-side K·x: streams the bf16 plane copy
+                when ``precond_bf16`` (accumulation stays f32)."""
+                if not pb16:
+                    return mv(X)
+                return apply_K(
+                    d16, gr, gl, sr, sl, vals, X, n_rest, sh=sh,
+                    scratch=scr16[:2], sem=scr16[2],
                 )
 
             def project(X):
@@ -893,8 +928,8 @@ class PressureGridCG:
                 if not use_coarse:
                     return invd[:] * r
                 z1 = omega * (invd[:] * r)
-                z2 = z1 + coarse(r - mv(z1))
-                return z2 + omega * (invd[:] * (r - mv(z2)))
+                z2 = z1 + coarse(r - mvp(z1))
+                return z2 + omega * (invd[:] * (r - mvp(z2)))
 
             if lean:
                 # rhs prep and slave copyback happened outside (XLA)
@@ -908,6 +943,15 @@ class PressureGridCG:
                             sem=scr[2] if scr else None, acc=dst, x_ref=src,
                         )
 
+                    def mvp_into(dst, src):
+                        if not pb16:
+                            return mv_into(dst, src)
+                        apply_K(
+                            d16, gr, gl, sr, sl, vals, None, n_rest, sh=sh,
+                            scratch=scr16[:2], sem=scr16[2],
+                            acc=dst, x_ref=src,
+                        )
+
                     def project_ref(ref):
                         a = act[:]
                         ref[:] = ref[:] - (jnp.sum(a * ref[:]) / ww) * a
@@ -917,10 +961,10 @@ class PressureGridCG:
                             cgz[:] = invd[:] * cgr[:]
                         else:
                             cgz[:] = omega * (invd[:] * cgr[:])  # z1
-                            mv_into(cgt, cgz)
+                            mvp_into(cgt, cgz)
                             cgt[:] = cgr[:] - cgt[:]
                             cgz[:] = cgz[:] + coarse(cgt[:])     # z2
-                            mv_into(cgt, cgz)
+                            mvp_into(cgt, cgz)
                             cgz[:] = cgz[:] + omega * (
                                 invd[:] * (cgr[:] - cgt[:])
                             )
@@ -985,6 +1029,27 @@ class PressureGridCG:
             diag_specs = [vmem()]
             diag_args = [K.diags]
             scratch_shapes = []
+
+        if pb16:
+            # second, half-width plane stack for the preconditioner's
+            # applies + its own double-buffer pair and DMA semaphores
+            d16_full = K.diags.astype(jnp.bfloat16)
+            if sloop:
+                diag_specs = diag_specs + [
+                    pl.BlockSpec(memory_space=pltpu.HBM)
+                ]
+                diag_args = diag_args + [_stacked_padded_diags(d16_full)]
+            else:
+                diag_specs = diag_specs + [
+                    pl.BlockSpec(memory_space=pltpu.HBM)
+                    for _ in range(n_off)
+                ]
+                diag_args = diag_args + [d16_full[g] for g in range(n_off)]
+            scratch_shapes = scratch_shapes + [
+                pltpu.VMEM((ns, ns), jnp.bfloat16),
+                pltpu.VMEM((ns, ns), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
 
         n_planes = 17 if lean else 20
         assert not hbm or lean, "hbm_io requires the lean kernel form"

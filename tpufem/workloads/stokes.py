@@ -128,6 +128,13 @@ class StokesConfig:
     # inverse in bfloat16 — halves the HBM bytes of the byte-dominant
     # coarse matvec inside each preconditioner application; safe because
     # it's a preconditioner (measured: iteration counts unchanged)
+    cg_precond_bf16: str = "off"  # | "on": streamed grid kernels only —
+    # keep a second bf16 copy of the pressure diag planes and stream IT
+    # for the preconditioner's two K-applies (2 of 3 plane streams per
+    # two-level iteration at half width, ~33% less HBM traffic where
+    # the round-4 roofline measured the kernel at 46% of HBM peak).
+    # Default off: changes the preconditioner (not the operator), so
+    # iterates differ from the f32 forms at fixed iteration counts
     precision: str = "f64"  # "f64" (parity) | "f32" | "bf16" (device dtype;
     # all factorizations happen on host in f64 regardless)
     pressure_mode: str = "penalty"  # "penalty" (reference ±1e10, f64-only)
@@ -685,6 +692,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     stream_diags=stream,
                     stream_loop=sloop,
                     hbm_io=hbm_io,
+                    precond_bf16=config.cg_precond_bf16 == "on",
                 )
                 dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
                 return visc, pressure, materialize(dx_csr), materialize(dy_csr), {}
