@@ -56,7 +56,7 @@ def _time_best(fn, reps: int = 5):
 def measure(n_side: int, n_circle: int, iters_p: int = 120,
             iters_v: int = 30, reps: int = 5, label: str | None = None,
             hbm_io: str = "auto", storage: str = "auto",
-            precond_bf16: str = "off"):
+            precond_bf16: str = "off", batch_cols: str = "on"):
     """One roofline row: build the bench problem at this size, time the
     two whole-solve kernels at fixed iteration counts, convert to GB/s."""
     import jax
@@ -77,7 +77,8 @@ def measure(n_side: int, n_circle: int, iters_p: int = 120,
         "twolevel", n_nodes=int(mesh.n_nodes), transport="none",
         storage=storage, hbm_io=hbm_io,
     )
-    config = dataclasses.replace(config, cg_precond_bf16=precond_bf16)
+    config = dataclasses.replace(config, cg_precond_bf16=precond_bf16,
+                                 cg_batch_cols=batch_cols)
     problem = stokes.StokesProblem.build(mesh, config)
     build_s = time.perf_counter() - t0
 
@@ -113,9 +114,12 @@ def measure(n_side: int, n_circle: int, iters_p: int = 120,
     pb = bool(getattr(ps, "precond_bf16", False))
     # bf16 precond: the 2 preconditioner applies stream half-width planes
     eff_applies_p = (2.0 if pb else 3.0) if ps.use_coarse else 1.0
+    vbatch = bool(getattr(vs, "batch_cols", False))
     if streamed:
         hbm_bytes_p = eff_applies_p * iters_p * bytes_apply_p
-        hbm_bytes_v = 2 * iters_v * bytes_apply_v  # 2 sequential columns
+        # batched columns: ONE plane stream per iteration serves both;
+        # sequential: each column's CG re-streams the planes
+        hbm_bytes_v = (1 if vbatch else 2) * iters_v * bytes_apply_v
     else:
         # operands cross HBM once per launch (+ b in, x out)
         hbm_bytes_p = (n_off_p + 8) * plane  # planes + masks/ml/invd/b/out
@@ -134,6 +138,7 @@ def measure(n_side: int, n_circle: int, iters_p: int = 120,
         "form": ("xl" if getattr(ps, "hbm_io", False)
                  else "stream" if streamed else "vmem"),
         "precond_bf16": bool(getattr(ps, "precond_bf16", False)),
+        "batch_cols": vbatch,
         "itemsize": itemsize,
         "n_off_p": n_off_p,
         "n_off_v": n_off_v,
