@@ -568,10 +568,13 @@ def test_hbm_io_interpret_matches_streamed(sloop):
     refs + async copies); covered over both DMA pipeline forms (the
     fori_loop stacked-plane form and the unrolled chain)."""
     mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    # cg_batch_cols off: the hbm_io viscous form is always sequential
+    # per-column (ref-carried), so bit-exactness vs the plain streamed
+    # form requires the sequential column CGs there too
     base = dict(solver="cg", cg_precond="twolevel",
                 cg_iters_visc=30, cg_iters_pressure=60, cg_warm_start=True,
                 cg_storage="grid_interpret", cg_stream_diags="on",
-                cg_stream_loop=sloop)
+                cg_stream_loop=sloop, cg_batch_cols="off")
     pg_xl = stokes.StokesProblem.build(
         mesh, stokes.StokesConfig(cg_hbm_io="on", **base)
     )
@@ -583,6 +586,29 @@ def test_hbm_io_interpret_matches_streamed(sloop):
     s_a, _ = stokes.run(pg_xl, steps=3)
     s_b, _ = stokes.run(pg_off, steps=3)
     np.testing.assert_array_equal(np.asarray(s_a["u"]), np.asarray(s_b["u"]))
+
+
+def test_batch_cols_matches_sequential():
+    """Column-batched viscous CG (both velocity columns in lockstep, one
+    plane stream per iteration — round-4 roofline lever) ≡ the
+    sequential per-column CGs at fixed iteration counts (per column the
+    algorithm is unchanged; only the loop nesting differs)."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(solver="cg", cg_precond="twolevel",
+                cg_iters_visc=25, cg_iters_pressure=40,
+                cg_warm_start=False, cg_storage="grid_interpret")
+    pa = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_batch_cols="on", **base)
+    )
+    pb = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_batch_cols="off", **base)
+    )
+    assert pa.visc_solver.batch_cols and not pb.visc_solver.batch_cols
+    s_a, _ = stokes.run(pa, steps=2)
+    s_b, _ = stokes.run(pb, steps=2)
+    np.testing.assert_allclose(
+        np.asarray(s_a["u"]), np.asarray(s_b["u"]), atol=1e-11
+    )
 
 
 @pytest.mark.parametrize("sloop", ["on", "off"])

@@ -43,8 +43,19 @@ def _pad_even(n: int) -> int:
     return n + (n % 2)
 
 
+def _sync(x):
+    """Force execution+materialization of a device value.
+
+    On the tunneled axon runtime ``block_until_ready()`` can return
+    without blocking (measured: ~50 µs "blocks" while the solve still
+    runs; the next host transfer then waits 300+ s) — the only reliable
+    sync is materializing data.  Transfer one row, not the whole plane,
+    so the sync itself stays cheap."""
+    np.asarray(x[:1])
+
+
 def _time_best(fn, reps: int = 5):
-    """Best-of-reps wall time of a blocking call (one process, warm)."""
+    """Best-of-reps wall time of fn (fn must _sync its result)."""
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -99,12 +110,12 @@ def measure(n_side: int, n_circle: int, iters_p: int = 120,
     solve_p = _jax.jit(lambda b: ps.solve(b))
     solve_v = _jax.jit(lambda b: vs.solve(b))
     t0 = time.perf_counter()
-    solve_p(bp).block_until_ready()
-    solve_v(bv).block_until_ready()
+    _sync(solve_p(bp))
+    _sync(solve_v(bv))
     compile_s = time.perf_counter() - t0
 
-    t_p = _time_best(lambda: solve_p(bp).block_until_ready(), reps)
-    t_v = _time_best(lambda: solve_v(bv).block_until_ready(), reps)
+    t_p = _time_best(lambda: _sync(solve_p(bp)), reps)
+    t_v = _time_best(lambda: _sync(solve_v(bv)), reps)
 
     streamed = bool(getattr(ps, "stream_diags", False))
     # per-apply HBM bytes (streamed) or per-solve operand footprint (VMEM)

@@ -288,6 +288,123 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
     return apply
 
 
+def _make_apply_cols(offsets, ns: int, interpret: bool, stream: bool = False,
+                     stream_loop: bool = False):
+    """Column-tuple twin of :func:`_make_apply`: ``Xs`` is a TUPLE of C
+    (ns, ns) planes and one plane load (one DMA stream pass when
+    ``stream``) feeds all C FMAs — the round-4 roofline lever for the
+    viscous/NS kernels, whose per-column sequential solves re-streamed
+    the planes C times.
+
+    Everything stays 2-D and scalar: the first attempt carried
+    (C, ns, ns) state with (C, 1, 1) keepdims reductions, and Mosaic's
+    vector-layout inference rejects the degenerate rank-3 reshapes those
+    lower to (measured: ``inferReshape`` CHECK-fail SIGABRT on v5e).
+    Tuples of planes + per-column python-unrolled scalars use exactly
+    the op set the single-column kernels already exercise."""
+    aligned = interpret or ns % 128 == 0
+    loop = stream or (len(offsets) >= _LOOP_OFFSETS_FROM and aligned)
+
+    def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, Xs, n_rest: int,
+              sh=None, scratch=None, sem=None):
+        C = len(Xs)
+        zeros = tuple(jnp.zeros_like(x) for x in Xs)
+
+        def roll_dyn(x, g):
+            if interpret:
+                return jnp.roll(jnp.roll(x, sh[0, g], -2), sh[1, g], -1)
+            from jax.experimental.pallas import tpu as pltpu
+
+            return pltpu.roll(
+                pltpu.roll(x, sh[0, g], x.ndim - 2), sh[1, g], x.ndim - 1
+            )
+
+        if stream and stream_loop:
+            from jax.experimental.pallas import tpu as pltpu
+
+            E = _pad_even(len(offsets)) - 2
+
+            def dma(g, slot: int):
+                return pltpu.make_async_copy(
+                    d.at[g], scratch[slot], sem.at[jnp.int32(slot)]
+                )
+
+            dma(jnp.int32(0), 0).start()
+            dma(jnp.int32(1), 1).start()
+
+            def body(i, Ys):
+                g0 = 2 * i
+                dma(g0, 0).wait()
+                p0 = scratch[0][:]
+                Ys = tuple(y + p0 * roll_dyn(x, g0)
+                           for y, x in zip(Ys, Xs))
+                dma(g0 + 2, 0).start()
+                dma(g0 + 1, 1).wait()
+                p1 = scratch[1][:]
+                Ys = tuple(y + p1 * roll_dyn(x, g0 + 1)
+                           for y, x in zip(Ys, Xs))
+                dma(g0 + 3, 1).start()
+                return Ys
+
+            Ys = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(E // 2), body, zeros
+            )
+            dma(jnp.int32(E), 0).wait()
+            dma(jnp.int32(E + 1), 1).wait()
+        elif stream:
+            from jax.experimental.pallas import tpu as pltpu
+
+            n_off = len(offsets)
+
+            def get_dma(slot: int, g: int):
+                return pltpu.make_async_copy(
+                    d[g], scratch[slot], sem.at[jnp.int32(slot)]
+                )
+
+            get_dma(0, 0).start()
+            Ys = zeros
+            for g, (dy, s) in enumerate(offsets):
+                slot = g % 2
+                if g + 1 < n_off:
+                    get_dma((g + 1) % 2, g + 1).start()
+                get_dma(slot, g).wait()
+                plane = scratch[slot][:]
+                Ys = tuple(
+                    y + plane * _roll2(x, dy, s, ns, interpret)
+                    for y, x in zip(Ys, Xs)
+                )
+        elif loop:
+            assert sh is not None
+
+            def body(g, Ys):
+                plane = d[g]
+                return tuple(y + plane * roll_dyn(x, g)
+                             for y, x in zip(Ys, Xs))
+
+            Ys = jax.lax.fori_loop(0, len(offsets), body, zeros)
+        else:
+            Ys = zeros
+            for g, (dy, s) in enumerate(offsets):
+                plane = d[g]
+                Ys = tuple(
+                    y + plane * _roll2(x, dy, s, ns, interpret)
+                    for y, x in zip(Ys, Xs)
+                )
+        if n_rest:
+            out = []
+            for y, x in zip(Ys, Xs):
+                T = jnp.dot(gr_rowT[:], x,
+                            preferred_element_type=jnp.float32)
+                xs = jnp.sum(T * gr_laneT[:], axis=1, keepdims=True)
+                w = vals[:] * xs
+                out.append(y + jnp.dot(sc_row[:], w * sc_laneT[:],
+                                       preferred_element_type=jnp.float32))
+            Ys = tuple(out)
+        return Ys
+
+    return apply
+
+
 def _shift_table(offsets, ns: int, pad_to: int = 0) -> jnp.ndarray:
     """(2, max(n_off, pad_to)) int32 roll shifts for the loop-form apply
     (zero-padded columns for the stream_loop pad planes)."""
@@ -352,6 +469,74 @@ def _cg_core(matvec, precond, project, b, x0, iters: int, tol: float):
 
     x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
     return project(x)
+
+
+def _cg_core_cols(matvec, precond, b, x0, iters: int, tol: float):
+    """_cg_core over C independent columns in LOCKSTEP — state is a
+    TUPLE of C (ns, ns) planes, CG scalars are per-column python-level
+    scalars (unrolled over C).  One ``matvec`` call (a
+    :func:`_make_apply_cols` apply) serves ALL columns, so in the
+    streamed regime the diag planes cross HBM once per iteration
+    instead of once per column, and in the all-VMEM regime the
+    per-iteration reduction/dependency latencies overlap across
+    columns.  All shapes stay 2-D / scalar: Mosaic rejects the
+    degenerate rank-3 reshapes that (C, 1, 1)-shaped scalars lower to.
+
+    Per column the arithmetic is the sequential algorithm's; under
+    ``tol > 0`` the loop runs until EVERY column meets its own
+    tolerance (a converged column keeps iterating — harmless, CG is
+    stationary at convergence up to roundoff)."""
+    C = len(b)
+    r0 = tuple(bc - ac for bc, ac in zip(b, matvec(x0)))
+    z0 = tuple(precond(rc) for rc in r0)
+    rz0 = tuple(jnp.sum(rc * zc) for rc, zc in zip(r0, z0))
+    atol2 = tuple(
+        (tol * jnp.maximum(jnp.sqrt(jnp.sum(bc * bc)), 1e-30)) ** 2
+        for bc in b
+    )
+
+    def advance(x, r, p, rz):
+        Ap = matvec(p)
+        denom = tuple(jnp.sum(pc * apc) for pc, apc in zip(p, Ap))
+        alpha = tuple(
+            jnp.where(dc != 0, rzc / dc, 0.0)
+            for dc, rzc in zip(denom, rz)
+        )
+        x = tuple(xc + ac * pc for xc, ac, pc in zip(x, alpha, p))
+        r = tuple(rc - ac * apc for rc, ac, apc in zip(r, alpha, Ap))
+        z = tuple(precond(rc) for rc in r)
+        rz_new = tuple(jnp.sum(rc * zc) for rc, zc in zip(r, z))
+        beta = tuple(
+            jnp.where(rzc != 0, rznc / rzc, 0.0)
+            for rzc, rznc in zip(rz, rz_new)
+        )
+        p = tuple(zc + bc * pc for zc, bc, pc in zip(z, beta, p))
+        return x, r, p, rz_new
+
+    if tol > 0:
+        def cond(st):
+            _, r, _, _, k = st
+            live = [jnp.sum(rc * rc) > at for rc, at in zip(r, atol2)]
+            any_live = live[0]
+            for l in live[1:]:
+                any_live = jnp.logical_or(any_live, l)
+            return jnp.logical_and(k < iters, any_live)
+
+        def wbody(st):
+            x, r, p, rz, k = st
+            x, r, p, rz = advance(x, r, p, rz)
+            return (x, r, p, rz, k + 1)
+
+        x, *_ = jax.lax.while_loop(
+            cond, wbody, (x0, r0, z0, rz0, jnp.int32(0))
+        )
+        return x
+
+    def body(_, state):
+        return advance(*state)
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, rz0))
+    return x
 
 
 def _cg_core_ref(mv_into, z_into, project_ref, cgx, cgr, cgp, cgt,
@@ -438,6 +623,11 @@ class ViscousGridCG:
     iters: int
     tol: float = 0.0
     interpret: bool = False
+    batch_cols: bool = True  # run the velocity columns' CGs in lockstep
+    # (one plane stream / reduction chain per iteration serves both —
+    # halves streamed viscous HBM traffic); False = sequential per-column
+    # CGs (the pre-round-4 form; hbm_io always uses it: the ref-carried
+    # XL core is single-column)
     stream_diags: bool = False  # diag planes HBM-resident, DMA-streamed
     stream_loop: bool = False  # + fori_loop DMA pipeline over ONE stacked
     # HBM array (O(1) program size; needs ns % 128 == 0)
@@ -468,6 +658,8 @@ class ViscousGridCG:
         assert not hbm or stream, "hbm_io requires stream_diags"
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
                               stream_loop=sloop)
+        apply_cols = _make_apply_cols(K.offsets, ns, interpret,
+                                      stream=stream, stream_loop=sloop)
         n_rest = K.n_rest
 
         inv_diag = jnp.where(
@@ -556,8 +748,37 @@ class ViscousGridCG:
                     cp_o.start()
                     cp_o.wait()
                 return
-            for c in range(b.shape[0]):
-                out[c] = _cg_core(mv, jac, ident, b[c], x0[c], iters, tol)
+            if self.batch_cols:
+                # both velocity columns advance in LOCKSTEP: one plane
+                # stream / one reduction chain per iteration serves both
+                # (round-4 roofline lever b)
+                C = b.shape[0]
+
+                def mv_cols(Xs):
+                    m = mask[:]
+                    KXs = apply_cols(
+                        d, gr, gl, sr, sl, vals,
+                        tuple(m * Xc for Xc in Xs), n_rest, sh=sh,
+                        scratch=scr[:2] if scr else None,
+                        sem=scr[2] if scr else None,
+                    )
+                    return tuple(
+                        m * (Xc + dt_nu * KXc) + (1.0 - m) * Xc
+                        for Xc, KXc in zip(Xs, KXs)
+                    )
+
+                jac_c = lambda r: invd[:] * r
+                xs = _cg_core_cols(
+                    mv_cols, jac_c,
+                    tuple(b[c] for c in range(C)),
+                    tuple(x0[c] for c in range(C)), iters, tol,
+                )
+                for c in range(C):
+                    out[c] = xs[c]
+            else:
+                for c in range(b.shape[0]):
+                    out[c] = _cg_core(mv, jac, ident, b[c], x0[c], iters,
+                                      tol)
 
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -1190,6 +1411,85 @@ def _bicgstab_core(matvec, precond, b, x0, iters: int, tol: float):
     return x
 
 
+def _bicgstab_core_cols(matvec, precond, b, x0, iters: int, tol: float):
+    """_bicgstab_core over C independent columns in LOCKSTEP — the
+    BiCGStab twin of :func:`_cg_core_cols`: state is a TUPLE of C
+    (ns, ns) planes, scalars are per-column (python-unrolled), one
+    ``matvec`` call (two per BiCGStab iteration) serves all columns.
+    Halves the per-iteration reduction/dependency chain the round-4
+    roofline measured as the all-VMEM kernels' binding constraint."""
+    C = len(b)
+
+    def fin(v):
+        return jnp.where(jnp.isfinite(v), v, jnp.zeros_like(v))
+
+    def tmap(f, *ts):
+        return tuple(f(*xs) for xs in zip(*ts))
+
+    r0 = tmap(lambda bc, ac: bc - ac, b, matvec(x0))
+    rhat = r0
+    atol2 = tuple(
+        (tol * jnp.maximum(jnp.sqrt(jnp.sum(bc * bc)), 1e-30)) ** 2
+        for bc in b
+    )
+
+    def advance(x, r, p, v, rho, alpha, omega):
+        rho_new = tuple(jnp.sum(rh * rc) for rh, rc in zip(rhat, r))
+        beta = tuple(
+            fin(jnp.where((rc != 0) & (oc != 0),
+                          (rnc / rc) * (ac / oc), 0.0))
+            for rc, oc, rnc, ac in zip(rho, omega, rho_new, alpha)
+        )
+        p = tmap(lambda rc, bc, pc, oc, vc: rc + bc * (pc - oc * vc),
+                 r, beta, p, omega, v)
+        phat = tuple(precond(pc) for pc in p)
+        v = matvec(phat)
+        denom = tuple(jnp.sum(rh * vc) for rh, vc in zip(rhat, v))
+        alpha = tuple(
+            fin(jnp.where(dc != 0, rnc / dc, 0.0))
+            for dc, rnc in zip(denom, rho_new)
+        )
+        s = tmap(lambda rc, ac, vc: rc - ac * vc, r, alpha, v)
+        shat = tuple(precond(sc) for sc in s)
+        t = matvec(shat)
+        tt = tuple(jnp.sum(tc * tc) for tc in t)
+        omega = tuple(
+            fin(jnp.where(ttc != 0, jnp.sum(tc * sc) / ttc, 0.0))
+            for ttc, tc, sc in zip(tt, t, s)
+        )
+        x = tmap(lambda xc, ac, ph, oc, sh_: xc + ac * ph + oc * sh_,
+                 x, alpha, phat, omega, shat)
+        r = tmap(lambda sc, oc, tc: sc - oc * tc, s, omega, t)
+        return x, r, p, v, rho_new, alpha, omega
+
+    one = jnp.asarray(1.0, dtype=b[0].dtype)
+    ones = (one,) * C
+    zeros = tuple(jnp.zeros_like(bc) for bc in b)
+    st0 = (x0, r0, zeros, zeros, ones, ones, ones)
+    if tol > 0:
+        def cond(st):
+            state, k = st
+            r = state[1]
+            live = [jnp.sum(rc * rc) > at for rc, at in zip(r, atol2)]
+            any_live = live[0]
+            for l in live[1:]:
+                any_live = jnp.logical_or(any_live, l)
+            return jnp.logical_and(k < iters, any_live)
+
+        def wbody(st):
+            state, k = st
+            return advance(*state), k + 1
+
+        st, _ = jax.lax.while_loop(cond, wbody, (st0, jnp.int32(0)))
+        return st[0]
+
+    def body(_, state):
+        return advance(*state)
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, st0)
+    return x
+
+
 @dataclasses.dataclass(frozen=True)
 class NSGridBiCGStab:
     """Whole-solve kernel for the NS implicit-advection velocity system
@@ -1213,12 +1513,15 @@ class NSGridBiCGStab:
     iters: int
     tol: float = 0.0
     interpret: bool = False
+    batch_cols: bool = True  # lockstep column BiCGStabs (one matvec pair
+    # per iteration serves both velocity components — see _cg_core_cols)
 
     @functools.cached_property
     def _solve_fn(self):
         ns, n_rest = self.ns, self.n_rest
         iters, tol, interpret = self.iters, self.tol, self.interpret
         apply_K = _make_apply(self.offsets, ns, interpret)
+        apply_cols = _make_apply_cols(self.offsets, ns, interpret)
         # host numpy, converted per-trace inside solve2: this property is
         # first evaluated INSIDE an outer jit trace (the NS step), where a
         # cached jnp constant would be a leaked tracer on the next trace
@@ -1234,8 +1537,31 @@ class NSGridBiCGStab:
                 return m * (X + KX) + (1.0 - m) * X
 
             jac = lambda r: invd[:] * r
-            for c in range(b.shape[0]):
-                out[c] = _bicgstab_core(mv, jac, b[c], x0[c], iters, tol)
+            if self.batch_cols:
+                C = b.shape[0]
+
+                def mv_cols(Xs):
+                    m = mask[:]
+                    KXs = apply_cols(
+                        d, gr, gl, sr, sl, vals,
+                        tuple(m * Xc for Xc in Xs), n_rest, sh=sh,
+                    )
+                    return tuple(
+                        m * (Xc + KXc) + (1.0 - m) * Xc
+                        for Xc, KXc in zip(Xs, KXs)
+                    )
+
+                xs = _bicgstab_core_cols(
+                    mv_cols, jac,
+                    tuple(b[c] for c in range(C)),
+                    tuple(x0[c] for c in range(C)), iters, tol,
+                )
+                for c in range(C):
+                    out[c] = xs[c]
+            else:
+                for c in range(b.shape[0]):
+                    out[c] = _bicgstab_core(mv, jac, b[c], x0[c], iters,
+                                            tol)
 
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu

@@ -128,6 +128,10 @@ class StokesConfig:
     # inverse in bfloat16 — halves the HBM bytes of the byte-dominant
     # coarse matvec inside each preconditioner application; safe because
     # it's a preconditioner (measured: iteration counts unchanged)
+    cg_batch_cols: str = "on"  # | "off": grid kernels — advance both
+    # velocity columns' CGs in lockstep (one plane stream / reduction
+    # chain per iteration serves both).  "off" restores the sequential
+    # per-column CGs, whose arithmetic the hbm_io XL form always uses
     cg_precond_bf16: str = "off"  # | "on": streamed grid kernels only —
     # keep a second bf16 copy of the pressure diag planes and stream IT
     # for the preconditioner's two K-applies (2 of 3 plane streams per
@@ -660,6 +664,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     iters=config.cg_iters_visc,
                     tol=config.cg_tol_visc,
                     interpret=interpret,
+                    batch_cols=config.cg_batch_cols == "on",
                     stream_diags=stream,
                     stream_loop=sloop,
                     hbm_io=hbm_io,
