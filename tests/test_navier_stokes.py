@@ -318,3 +318,13 @@ def test_ns_grid_bicgstab_kernel_matches_xla():
         np.testing.assert_allclose(
             np.asarray(x[:, c]), np.asarray(xc), atol=1e-10
         )
+
+    # lockstep-column form (NSConfig.cg_batch_cols="on", the default —
+    # one matvec pair per iteration serves both velocity components) ≡
+    # the sequential per-column BiCGStabs at fixed iteration counts
+    seq = dc.replace(solver, batch_cols=False)
+    assert solver.batch_cols and not seq.batch_cols
+    x_seq = seq.solve(Ag, mask, invd, b, x0)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x_seq), atol=1e-10
+    )

@@ -178,6 +178,143 @@ SIZES = [
 ]
 
 
+def _chain(solve, K: int):
+    """jit(solve) chained K× per dispatch (output fed back, normalized so
+    repeated application can't overflow).  Amortizes the tunnel's
+    per-dispatch latency (25-35 ms in slow windows — the same magnitude
+    as one whole viscous solve at 410k) to 1/K per solve; K is kept small
+    enough that one dispatch stays far under the tunnel's multi-minute
+    kill horizon."""
+    import jax
+    import jax.numpy as jnp
+
+    if K <= 1:
+        return jax.jit(solve)
+
+    def run(b):
+        def body(_, bb):
+            x = solve(bb)
+            return x / (jnp.sqrt(jnp.sum(x * x)) + 1e-30)
+
+        return jax.lax.fori_loop(0, K, body, b)
+
+    return jax.jit(run)
+
+
+def ab(n_side: int, n_circle: int, knobs, iters_p: int = 120,
+       iters_v: int = 30, reps: int = 8, chain: int = 8,
+       label: str | None = None, hbm_io: str = "auto",
+       storage: str = "auto"):
+    """Interleaved A/B of (precond_bf16, batch_cols) knob combos at one
+    size: all configs built + compiled first, then timed round-robin
+    (rep 0 of every config, rep 1 of every config, ...) so tunnel drift
+    hits every config equally.  Returns one row per combo."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from tpufem import bench_large
+    import tpufem
+    from tpufem.workloads import stokes
+
+    bench_large.enable_compile_cache()
+    mesh = tpufem.generate_annulus_mesh(
+        n_side=n_side, n_circle=n_circle, pad_hole=True
+    )
+
+    entries = []
+    for pb, bc in knobs:
+        t0 = time.perf_counter()
+        config = bench_large.bench_config(
+            "twolevel", n_nodes=int(mesh.n_nodes), transport="none",
+            storage=storage, hbm_io=hbm_io,
+        )
+        config = dataclasses.replace(
+            config, cg_precond_bf16=pb, cg_batch_cols=bc
+        )
+        problem = stokes.StokesProblem.build(mesh, config)
+        build_s = time.perf_counter() - t0
+        ps = dataclasses.replace(problem.pressure_solver, tol=0.0,
+                                 iters=iters_p)
+        vs = dataclasses.replace(problem.visc_solver, tol=0.0,
+                                 iters=iters_v)
+        ns = ps.K.ns
+        itemsize = np.dtype(np.asarray(ps.K.diags).dtype).itemsize
+        dtype = np.float32 if itemsize == 4 else np.float64
+        rng = np.random.default_rng(0)
+        bp = jnp.asarray(rng.standard_normal(ns * ns).astype(dtype))
+        bv = jnp.asarray(rng.standard_normal((ns * ns, 2)).astype(dtype))
+        sp = _chain(lambda b, _ps=ps: _ps.solve(b), chain)
+        sv = _chain(lambda b, _vs=vs: _vs.solve(b), chain)
+        t0 = time.perf_counter()
+        _sync(sp(bp))
+        _sync(sv(bv))
+        compile_s = time.perf_counter() - t0
+        entries.append(dict(
+            pb=pb, bc=bc, ps=ps, vs=vs, sp=sp, sv=sv, bp=bp, bv=bv,
+            ns=ns, itemsize=itemsize, build_s=build_s,
+            compile_s=compile_s, best_p=float("inf"),
+            best_v=float("inf"),
+        ))
+        print(f"# built pb16={pb} batch={bc} "
+              f"(build {build_s:.1f}s compile {compile_s:.1f}s)",
+              flush=True)
+
+    for rep in range(reps):
+        for e in entries:
+            t0 = time.perf_counter()
+            _sync(e["sp"](e["bp"]))
+            e["best_p"] = min(e["best_p"], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _sync(e["sv"](e["bv"]))
+            e["best_v"] = min(e["best_v"], time.perf_counter() - t0)
+
+    rows = []
+    for e in entries:
+        ps, vs, ns, itemsize = e["ps"], e["vs"], e["ns"], e["itemsize"]
+        t_p = e["best_p"] / chain
+        t_v = e["best_v"] / chain
+        n_off_p, n_off_v = len(ps.K.offsets), len(vs.K.offsets)
+        plane = ns * ns * itemsize
+        streamed = bool(getattr(ps, "stream_diags", False))
+        pb = bool(getattr(ps, "precond_bf16", False))
+        vbatch = bool(getattr(vs, "batch_cols", False))
+        eff_applies_p = (2.0 if pb else 3.0) if ps.use_coarse else 1.0
+        if streamed:
+            hbm_bytes_p = eff_applies_p * iters_p * _pad_even(n_off_p) * plane
+            hbm_bytes_v = ((1 if vbatch else 2) * iters_v
+                           * _pad_even(n_off_v) * plane)
+        else:
+            hbm_bytes_p = (n_off_p + 8) * plane
+            hbm_bytes_v = (n_off_v + 8) * plane
+        gbps_p = hbm_bytes_p / t_p / 1e9
+        gbps_v = hbm_bytes_v / t_v / 1e9
+        rows.append({
+            "label": label or f"{ns}x{ns}",
+            "n_nodes": int(mesh.n_nodes),
+            "ns": int(ns),
+            "form": ("xl" if getattr(ps, "hbm_io", False)
+                     else "stream" if streamed else "vmem"),
+            "precond_bf16": pb,
+            "batch_cols": vbatch,
+            "chain": chain,
+            "reps": reps,
+            "iters_p": iters_p,
+            "iters_v": iters_v,
+            "t_pressure_s": round(t_p, 5),
+            "t_viscous_s": round(t_v, 5),
+            "us_per_p_iter": round(t_p / iters_p * 1e6, 1),
+            "us_per_v_coliter": round(t_v / (2 * iters_v) * 1e6, 1),
+            "hbm_gbps_pressure": round(gbps_p, 1),
+            "hbm_gbps_viscous": round(gbps_v, 1),
+            "pct_peak_pressure": round(100 * gbps_p / V5E_HBM_GBPS, 1),
+            "pct_peak_viscous": round(100 * gbps_v / V5E_HBM_GBPS, 1),
+            "build_s": round(e["build_s"], 1),
+            "compile_s": round(e["compile_s"], 1),
+        })
+    return rows
+
+
 def main(argv=None):
     import argparse
 
@@ -186,6 +323,10 @@ def main(argv=None):
     parser.add_argument("--iters-p", type=int, default=120)
     parser.add_argument("--iters-v", type=int, default=30)
     parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--ab", action="store_true",
+                        help="interleaved chained A/B of the "
+                             "precond_bf16/batch_cols knobs")
+    parser.add_argument("--chain", type=int, default=8)
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
@@ -193,6 +334,15 @@ def main(argv=None):
     rows = []
     for label, n_side, n_circle in SIZES:
         if wanted is not None and label not in wanted:
+            continue
+        if args.ab:
+            for r in ab(n_side, n_circle,
+                        knobs=[("off", "off"), ("off", "on"),
+                               ("on", "on")],
+                        iters_p=args.iters_p, iters_v=args.iters_v,
+                        reps=args.reps, chain=args.chain, label=label):
+                print(json.dumps(r), flush=True)
+                rows.append(r)
             continue
         r = measure(n_side, n_circle, iters_p=args.iters_p,
                     iters_v=args.iters_v, reps=args.reps, label=label)

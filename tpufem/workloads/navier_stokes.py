@@ -497,6 +497,10 @@ class NSConfig:
     #   "grid_interpret" — same code through the Pallas interpreter (CPU CI)
     #   "stencil" — the round-3 XLA shift-FMA form
     cg_storage: str = "auto"
+    cg_batch_cols: str = "on"  # grid kernels: advance both velocity
+    # columns' BiCGStabs in lockstep (one matvec pair / reduction chain
+    # per iteration serves both — see solve/pallas_cg._bicgstab_core_cols);
+    # "off" restores the sequential per-column solves
 
 
 @dataclasses.dataclass(frozen=True)
@@ -697,6 +701,7 @@ class NSProblem:
                     iters=config.cg_iters_visc,
                     tol=config.cg_tol,
                     interpret=interpret,
+                    batch_cols=config.cg_batch_cols == "on",
                 )
                 ones = jnp.ones(mesh.n_nodes, dtype=dtype)
                 # pressure: same Poisson operator through the whole-solve
