@@ -328,3 +328,30 @@ def test_ns_grid_bicgstab_kernel_matches_xla():
     np.testing.assert_allclose(
         np.asarray(x), np.asarray(x_seq), atol=1e-10
     )
+
+
+def test_ns_grid_streamed_matches_vmem():
+    """NSConfig(cg_stream_diags='on'): the per-step refilled operator
+    planes live in HBM and stream through the double-buffered DMA
+    pipeline (the ≥360k NS form) — bit-identical fields to the all-VMEM
+    kernel in interpret mode (same arithmetic, different plane
+    residency), for both column modes."""
+    import tpufem
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    kw = dict(dt=1e-4, nu=1.0, solver="cg", precision="f64",
+              cg_iters_visc=40, cg_iters_pressure=80, cg_tol=1e-10,
+              cg_storage="grid_interpret")
+    for bc in ("on", "off"):
+        pv = ns.NSProblem.build(
+            mesh, ns.NSConfig(cg_stream_diags="off", cg_batch_cols=bc, **kw)
+        )
+        pst = ns.NSProblem.build(
+            mesh, ns.NSConfig(cg_stream_diags="on", cg_batch_cols=bc, **kw)
+        )
+        assert not pv.vel_solver_grid.stream_diags
+        assert pst.vel_solver_grid.stream_diags
+        assert pst.pressure_solver.stream_diags
+        uv, _ = ns.run(pv, steps=5, host_loop=True)
+        ust, _ = ns.run(pst, steps=5, host_loop=True)
+        np.testing.assert_array_equal(np.asarray(uv), np.asarray(ust))

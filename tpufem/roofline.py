@@ -40,7 +40,11 @@ V5E_HBM_GBPS = 819.0  # public v5e spec: 16 GB HBM2 @ 819 GB/s
 
 
 def _pad_even(n: int) -> int:
-    return n + (n % 2)
+    """Planes the streamed pipeline actually moves per apply: n_off
+    rounded up to even PLUS the 2 zero pad planes the run-ahead DMA
+    drains (solve/pallas_cg._pad_even) — they cross HBM like any other
+    plane, so the traffic model must count them."""
+    return n + (n % 2) + 2
 
 
 def _sync(x):

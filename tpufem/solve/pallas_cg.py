@@ -1515,25 +1515,44 @@ class NSGridBiCGStab:
     interpret: bool = False
     batch_cols: bool = True  # lockstep column BiCGStabs (one matvec pair
     # per iteration serves both velocity components — see _cg_core_cols)
+    stream_diags: bool = False  # diag planes HBM-resident, DMA-streamed
+    # through a double-buffered VMEM pair.  Unlike ViscousGridCG the
+    # planes are RUNTIME values (refilled per step), so only the
+    # stacked-array fori_loop pipeline form exists (the per-step stack
+    # costs one extra plane-set write — negligible against the
+    # per-iteration stream) and it needs ns % 128 == 0 (tile-aligned
+    # plane slices of the stacked ref).  This is what takes the NS grid
+    # kernels past the ~160k all-VMEM ceiling (diags no longer resident).
 
     @functools.cached_property
     def _solve_fn(self):
         ns, n_rest = self.ns, self.n_rest
         iters, tol, interpret = self.iters, self.tol, self.interpret
-        apply_K = _make_apply(self.offsets, ns, interpret)
-        apply_cols = _make_apply_cols(self.offsets, ns, interpret)
+        stream = self.stream_diags
+        assert not stream or interpret or ns % 128 == 0, (
+            "streamed NS kernels need tile-aligned planes (ns % 128 == 0)"
+        )
+        apply_K = _make_apply(self.offsets, ns, interpret, stream=stream,
+                              stream_loop=stream)
+        apply_cols = _make_apply_cols(self.offsets, ns, interpret,
+                                      stream=stream, stream_loop=stream)
         # host numpy, converted per-trace inside solve2: this property is
         # first evaluated INSIDE an outer jit trace (the NS step), where a
         # cached jnp constant would be a leaked tracer on the next trace
-        sh_np = np.asarray(
-            [[(-dy) % ns for dy, _ in self.offsets],
-             [(-s) % ns for _, s in self.offsets]], dtype=np.int32
-        )
+        pad_to = (_pad_even(len(self.offsets)) - 2) if stream else 0
+        rows = [[(-dy) % ns for dy, _ in self.offsets],
+                [(-s) % ns for _, s in self.offsets]]
+        for r in rows:
+            r.extend([0] * max(0, pad_to - len(r)))
+        sh_np = np.asarray(rows, dtype=np.int32)
 
-        def kernel(sh, d, gr, gl, sr, sl, vals, mask, invd, b, x0, out):
+        def kernel(sh, d, gr, gl, sr, sl, vals, mask, invd, b, x0, out,
+                   *scr):
             def mv(X):
                 m = mask[:]
-                KX = apply_K(d, gr, gl, sr, sl, vals, m * X, n_rest, sh=sh)
+                KX = apply_K(d, gr, gl, sr, sl, vals, m * X, n_rest, sh=sh,
+                             scratch=scr[:2] if scr else None,
+                             sem=scr[2] if scr else None)
                 return m * (X + KX) + (1.0 - m) * X
 
             jac = lambda r: invd[:] * r
@@ -1545,6 +1564,8 @@ class NSGridBiCGStab:
                     KXs = apply_cols(
                         d, gr, gl, sr, sl, vals,
                         tuple(m * Xc for Xc in Xs), n_rest, sh=sh,
+                        scratch=scr[:2] if scr else None,
+                        sem=scr[2] if scr else None,
                     )
                     return tuple(
                         m * (Xc + KXc) + (1.0 - m) * Xc
@@ -1571,16 +1592,29 @@ class NSGridBiCGStab:
 
         def solve2(diags, gr, gl, sr, sl, vals, mask_g, invd_g, b_grid,
                    x0_grid):
+            if stream:
+                diag_arg = _stacked_padded_diags(diags)
+                diag_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+                scratch_shapes = [
+                    pltpu.VMEM((ns, ns), diags.dtype),
+                    pltpu.VMEM((ns, ns), diags.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]
+            else:
+                diag_arg = diags
+                diag_spec = vmem()
+                scratch_shapes = []
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(b_grid.shape, b_grid.dtype),
-                in_specs=[smem()] + [vmem()] * 10,
+                in_specs=[smem(), diag_spec] + [vmem()] * 9,
                 out_specs=vmem(),
+                scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=None if interpret else pltpu.CompilerParams(
                     vmem_limit_bytes=_VMEM_LIMIT,
                 ),
-            )(jnp.asarray(sh_np), diags, gr, gl, sr, sl, vals, mask_g,
+            )(jnp.asarray(sh_np), diag_arg, gr, gl, sr, sl, vals, mask_g,
               invd_g, b_grid, x0_grid)
 
         return jax.jit(solve2)

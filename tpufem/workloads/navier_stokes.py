@@ -501,6 +501,13 @@ class NSConfig:
     # columns' BiCGStabs in lockstep (one matvec pair / reduction chain
     # per iteration serves both — see solve/pallas_cg._bicgstab_core_cols);
     # "off" restores the sequential per-column solves
+    cg_stream_diags: str = "auto"  # grid kernels: where the per-step
+    # refilled operator planes live during the solves.  "off" = VMEM-
+    # resident (the ≤160k form), "on" = HBM-resident, DMA-streamed
+    # through a double-buffered VMEM pair (the stacked fori_loop pipeline
+    # — needs ns % 128 == 0), "auto" = stream from 360k nodes up (same
+    # measured crossover as the Stokes kernels; the all-VMEM NS kernel
+    # OOMs past ~160k because diags + BiCGStab state exceed 128 MiB)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -694,6 +701,13 @@ class NSProblem:
                 nudt = float(config.nu * config.dt)
                 kg_diags = nudt * Kg.diags
                 kg_rest = nudt * Kg.rest_vals
+                stream = config.cg_stream_diags == "on" or (
+                    config.cg_stream_diags == "auto"
+                    and mesh.n_nodes >= 360_000
+                )
+                # the streamed pipeline slices a stacked HBM ref —
+                # hardware needs tile-aligned planes
+                stream = stream and (interpret or ns_grid % 128 == 0)
                 vel_grid = NSGridBiCGStab(
                     ns=ns_grid,
                     offsets=grid_refill.template.offsets,
@@ -702,6 +716,7 @@ class NSProblem:
                     tol=config.cg_tol,
                     interpret=interpret,
                     batch_cols=config.cg_batch_cols == "on",
+                    stream_diags=stream,
                 )
                 ones = jnp.ones(mesh.n_nodes, dtype=dtype)
                 # pressure: same Poisson operator through the whole-solve
@@ -726,6 +741,8 @@ class NSProblem:
                     target_coarse=config.cg_coarse_nodes,
                     use_coarse=config.cg_precond == "twolevel",
                     interpret=interpret,
+                    stream_diags=stream,
+                    stream_loop=stream,
                 )
                 # materialize the cached solve closures NOW (outside any
                 # trace): built lazily inside a jitted step, their jnp
