@@ -71,9 +71,15 @@ def _time_best(fn, reps: int = 5):
 def measure(n_side: int, n_circle: int, iters_p: int = 120,
             iters_v: int = 30, reps: int = 5, label: str | None = None,
             hbm_io: str = "auto", storage: str = "auto",
-            precond_bf16: str = "off", batch_cols: str = "on"):
+            precond_bf16: str = "off", batch_cols: str = "on",
+            chain: int = 1):
     """One roofline row: build the bench problem at this size, time the
-    two whole-solve kernels at fixed iteration counts, convert to GB/s."""
+    two whole-solve kernels at fixed iteration counts, convert to GB/s.
+
+    ``chain > 1`` runs K solves per dispatch (see :func:`_chain`) so the
+    tunnel's per-dispatch latency — up to ~35 ms in slow windows, the
+    size of a whole 410k viscous solve — is amortized out of the
+    per-iteration numbers."""
     import jax
     import jax.numpy as jnp
 
@@ -111,15 +117,15 @@ def measure(n_side: int, n_circle: int, iters_p: int = 120,
 
     import jax as _jax
 
-    solve_p = _jax.jit(lambda b: ps.solve(b))
-    solve_v = _jax.jit(lambda b: vs.solve(b))
+    solve_p = _chain(lambda b: ps.solve(b), chain)
+    solve_v = _chain(lambda b: vs.solve(b), chain)
     t0 = time.perf_counter()
     _sync(solve_p(bp))
     _sync(solve_v(bv))
     compile_s = time.perf_counter() - t0
 
-    t_p = _time_best(lambda: _sync(solve_p(bp)), reps)
-    t_v = _time_best(lambda: _sync(solve_v(bv)), reps)
+    t_p = _time_best(lambda: _sync(solve_p(bp)), reps) / chain
+    t_v = _time_best(lambda: _sync(solve_v(bv)), reps) / chain
 
     streamed = bool(getattr(ps, "stream_diags", False))
     # per-apply HBM bytes (streamed) or per-solve operand footprint (VMEM)
@@ -154,6 +160,7 @@ def measure(n_side: int, n_circle: int, iters_p: int = 120,
                  else "stream" if streamed else "vmem"),
         "precond_bf16": bool(getattr(ps, "precond_bf16", False)),
         "batch_cols": vbatch,
+        "chain": chain,
         "itemsize": itemsize,
         "n_off_p": n_off_p,
         "n_off_v": n_off_v,
@@ -349,7 +356,8 @@ def main(argv=None):
                 rows.append(r)
             continue
         r = measure(n_side, n_circle, iters_p=args.iters_p,
-                    iters_v=args.iters_v, reps=args.reps, label=label)
+                    iters_v=args.iters_v, reps=args.reps, label=label,
+                    chain=args.chain)
         print(json.dumps(r), flush=True)
         rows.append(r)
     if args.out:
