@@ -935,12 +935,16 @@ class PressureGridCG:
     # bf16 copy of the diag planes in HBM and stream IT for the
     # preconditioner's two K-applies (the CG advance keeps f32) — 2 of
     # the 3 plane streams per iteration at half width ⇒ ~33% less HBM
-    # traffic where the roofline says the kernel is DMA-limited
-    # (BASELINE.md round-4 roofline: 46% of peak at 1.05M).  Safe: the
-    # preconditioner stays a fixed symmetric linear operator (bf16
-    # rounding of a symmetric plane set is symmetric), only its quality
-    # changes at the ~0.4% level — same rationale as the bf16 coarse
-    # inverse above.
+    # traffic.  Safe: the preconditioner stays a fixed symmetric linear
+    # operator (bf16 rounding of a symmetric plane set is symmetric),
+    # only its quality changes at the ~0.4% level — same rationale as
+    # the bf16 coarse inverse above.  MEASURED FLAT and left off: the
+    # chained-dispatch A/B (benchmarks/roofline_ab_r4.jsonl, 410k and
+    # 1.05M) shows identical per-iteration time with 33% fewer bytes —
+    # the streamed kernels are bound by the per-plane DMA pipeline and
+    # in-kernel serialization, not by HBM bytes, so halving plane width
+    # buys nothing (yet; it would pay if the pipeline ever reaches the
+    # bandwidth roof).
 
     @classmethod
     def build(
