@@ -102,3 +102,72 @@ def test_vorticity_of_rigid_rotation(any_mesh):
     w = calculus.vorticity(m, u)
     interior = np.asarray(m.markers) == 0
     np.testing.assert_allclose(np.asarray(w)[interior], 2 * omega, rtol=1e-8)
+
+
+def test_element_convection_flat_matches_rank3(any_mesh):
+    """element_convection_flat (the 1-D k-major per-step form — rank-3
+    (T,3,3) tensors tile-pad ~57x on TPU and OOM scanned NS steps at
+    >=410k) carries exactly the entries of element_convection:
+    flat[k*T + t] == elem[t, k//3, k%3], for both reference scalings."""
+    m = any_mesh
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((m.n_nodes, 2)))
+    for variant in ("stokescolor", "opsplit"):
+        elem = np.asarray(assembly.element_convection(m, u, variant=variant))
+        flat = np.asarray(
+            assembly.element_convection_flat(m, u, variant=variant)
+        )
+        t = m.n_tris
+        np.testing.assert_allclose(
+            flat.reshape(9, t), elem.reshape(t, 9).T, atol=1e-13
+        )
+
+
+def test_refill_flat_matches_refill():
+    """GridRefill.refill_flat / StencilRefill.refill_flat on the k-major
+    flat values reproduce refill() on the (T,3,3) tensor.  The two
+    convection computations differ by ~1 ulp (einsum contraction vs
+    explicit FMA order), so the refilled operators agree to machine
+    precision, not bitwise; the GATHER itself is exact (covered by
+    feeding refill_flat the reshaped rank-3 values)."""
+    import tpufem
+    from tpufem.ops.gridop import GridRefill
+    from tpufem.ops.stencil import StencilRefill
+
+    mesh = tpufem.generate_annulus_mesh(n_side=24, n_circle=32,
+                                        pad_hole=True)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((mesh.n_nodes, 2)))
+    elem = assembly.element_convection(mesh, u, variant="opsplit")
+    flat = assembly.element_convection_flat(mesh, u, variant="opsplit")
+    t = mesh.n_tris
+    # exact-gather check: same values through both index paths
+    flat_of_elem = jnp.asarray(
+        np.asarray(elem).reshape(t, 9).T.reshape(-1)
+    )
+
+    gr = GridRefill.build(mesh, 24, dtype=jnp.float64)
+    a = gr.refill(elem)
+    b = gr.refill_flat(flat)
+    c = gr.refill_flat(flat_of_elem)
+    np.testing.assert_array_equal(np.asarray(a.diags), np.asarray(c.diags))
+    np.testing.assert_array_equal(np.asarray(a.rest_vals),
+                                  np.asarray(c.rest_vals))
+    np.testing.assert_allclose(np.asarray(a.diags), np.asarray(b.diags),
+                               rtol=1e-13, atol=1e-17)
+    np.testing.assert_allclose(np.asarray(a.rest_vals),
+                               np.asarray(b.rest_vals),
+                               rtol=1e-13, atol=1e-17)
+
+    sr = StencilRefill.build(mesh, dtype=jnp.float64)
+    a = sr.refill(elem)
+    b = sr.refill_flat(flat)
+    c = sr.refill_flat(flat_of_elem)
+    np.testing.assert_array_equal(np.asarray(a.diags), np.asarray(c.diags))
+    np.testing.assert_array_equal(np.asarray(a.rest_data),
+                                  np.asarray(c.rest_data))
+    np.testing.assert_allclose(np.asarray(a.diags), np.asarray(b.diags),
+                               rtol=1e-13, atol=1e-17)
+    np.testing.assert_allclose(np.asarray(a.rest_data),
+                               np.asarray(b.rest_data),
+                               rtol=1e-13, atol=1e-17)

@@ -103,6 +103,44 @@ def element_convection(mesh: Mesh, u: jnp.ndarray, variant: str = "stokescolor")
     )
 
 
+def element_convection_flat(mesh: Mesh, u: jnp.ndarray,
+                            variant: str = "stokescolor") -> jnp.ndarray:
+    """(9·T,) k-major flat convection values: entry ``k·T + t`` equals
+    ``element_convection(mesh, u, variant)[t, k // 3, k % 3]``.
+
+    The per-step form for the scanned NS programs: every array here is
+    1-D, because XLA tiles a rank-3 ``(T, 3, 3)`` element tensor on its
+    trailing (3, 3) dims and pads them to full (sublane, 128-lane)
+    tiles — measured 56.9× expansion (a 180 MB convection tensor
+    ballooned to a 10.00 GB HLO temp inside the 410k chunked NS step
+    and OOM'd the 16 GB HBM).  1-D arrays never pad; the (T, 3, 2)
+    ``mesh.grads`` operand is pre-sliced into six (T,) constants for
+    the same reason."""
+    dtype = u.dtype
+    grads = np.asarray(mesh.grads)
+    det = jnp.asarray(mesh.det, dtype=dtype)
+    tris = np.asarray(mesh.tris)
+    # sum-then-/3 matches element_convection's mean() bitwise
+    ucx = (u[tris[:, 0], 0] + u[tris[:, 1], 0] + u[tris[:, 2], 0]) / 3.0
+    ucy = (u[tris[:, 0], 1] + u[tris[:, 1], 1] + u[tris[:, 2], 1]) / 3.0
+    if variant == "stokescolor":
+        scale = det / (2.0 * jnp.abs(det))
+        row = jnp.asarray(mesh.area, dtype=dtype) / 3.0
+    elif variant == "opsplit":
+        scale = jnp.ones_like(det)
+        row = 0.5 * det / 3.0
+    else:
+        raise ValueError(f"unknown convection variant: {variant}")
+    row = jnp.where(jnp.asarray(mesh.valid, dtype=dtype) != 0, row, 0.0)
+    w = []
+    for j in range(3):
+        gx = jnp.asarray(grads[:, j, 0], dtype=dtype) * scale
+        gy = jnp.asarray(grads[:, j, 1], dtype=dtype) * scale
+        w.append(row * (ucx * gx + ucy * gy))
+    # k = i·3 + j with the row index i uniform → tile [w0, w1, w2] 3×
+    return jnp.concatenate(w * 3)
+
+
 # ---------------------------------------------------------------------------
 # Scatter / materialization
 # ---------------------------------------------------------------------------

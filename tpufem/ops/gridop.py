@@ -255,9 +255,15 @@ class GridRefill:
     a values-built operator)."""
 
     template: GridOperator  # pattern donor; its values are ignored
-    dest: jnp.ndarray  # (9T,) int32: ordered element entry → flat slot
-    order: np.ndarray  # (9T,) host: elem.reshape(-1) gather order
+    dest: jnp.ndarray  # (E,) int32: ordered element entry → flat slot
+    order: np.ndarray  # (E,) host: elem.reshape(-1) gather order
     n_flat: int  # n_off·N + Mp
+    order_k: np.ndarray | None = None  # (E,) host: the same gather
+    # order into the K-MAJOR (9·T,) flat layout (entry k·T + t) of
+    # assembly.element_convection_flat — refill_flat's index set.
+    # E may be < 9·T (invalid pad_hole dummy triangles contribute no
+    # pattern entries), so the conversion needs the true n_tris and is
+    # done once at build
 
     @classmethod
     def build(cls, mesh, ns: int, dtype=jnp.float32,
@@ -293,18 +299,32 @@ class GridRefill:
         mp = template.rest_vals.shape[0]
         assert len(rest) == template.n_rest <= mp
         dest = slot_dest[pattern["inverse"]]
+        order = pattern["order"]
         return cls(
             template=template,
             dest=jnp.asarray(dest, dtype=jnp.int32),
-            order=pattern["order"],
+            order=order,
             n_flat=n_off * N + mp,
+            order_k=(order % 9) * mesh.n_tris + order // 9,
         )
 
     def refill(self, elem: jnp.ndarray) -> GridOperator:
         """(T, 3, 3) element values → a ready GridOperator (jittable)."""
+        return self._from_gathered(elem.reshape(-1)[self.order])
+
+    def refill_flat(self, flat_k: jnp.ndarray) -> GridOperator:
+        """(9·T,) K-MAJOR element values (entry ``k·T + t`` — the
+        layout of ``assembly.element_convection_flat``) → GridOperator.
+        The scanned-step form: no rank-3 (T, 3, 3) tensor is ever
+        materialized on device (its trailing (3, 3) dims tile-pad
+        56.9×, which OOM'd the 410k NS step)."""
+        return self._from_gathered(
+            flat_k[jnp.asarray(self.order_k, dtype=jnp.int32)]
+        )
+
+    def _from_gathered(self, vals: jnp.ndarray) -> GridOperator:
         flat = jax.ops.segment_sum(
-            elem.reshape(-1)[self.order], self.dest,
-            num_segments=self.n_flat,
+            vals, self.dest, num_segments=self.n_flat,
         )
         t = self.template
         n_off, ns = len(t.offsets), t.ns

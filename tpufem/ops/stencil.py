@@ -159,9 +159,11 @@ class StencilRefill:
     refilled operator is drop-in)."""
 
     template: StencilOperator  # pattern donor; its values are ignored
-    dest: jnp.ndarray  # (9T,) int32: ordered element entry → flat slot
-    order: np.ndarray  # (9T,) host: elem.reshape(-1) gather order
+    dest: jnp.ndarray  # (E,) int32: ordered element entry → flat slot
+    order: np.ndarray  # (E,) host: elem.reshape(-1) gather order
     n_flat: int  # s·N + len(rest)
+    order_k: np.ndarray | None = None  # (E,) host: gather order into the
+    # K-MAJOR (9·T,) flat layout (see GridRefill.order_k)
 
     @classmethod
     def build(cls, mesh, dtype=jnp.float32, max_offsets: int = 16,
@@ -195,18 +197,32 @@ class StencilRefill:
         o_r = np.argsort(rows[rest], kind="stable")
         slot_dest[rest[o_r]] = s * n + np.arange(len(rest))
         dest = slot_dest[pattern["inverse"]]
+        order = pattern["order"]
         return cls(
             template=template,
             dest=jnp.asarray(dest, dtype=jnp.int32),
-            order=pattern["order"],
+            order=order,
             n_flat=s * n + len(rest),
+            order_k=(order % 9) * mesh.n_tris + order // 9,
         )
 
     def refill(self, elem: jnp.ndarray) -> StencilOperator:
         """(T, 3, 3) element values → a ready StencilOperator (jittable)."""
+        return self._from_gathered(elem.reshape(-1)[self.order])
+
+    def refill_flat(self, flat_k: jnp.ndarray) -> StencilOperator:
+        """(9·T,) K-MAJOR element values (``k·T + t`` layout, see
+        ``assembly.element_convection_flat``) → StencilOperator without
+        ever materializing a rank-3 (T, 3, 3) tensor on device (its
+        trailing dims tile-pad ~57× and OOM HBM inside scanned steps
+        at ≥410k)."""
+        return self._from_gathered(
+            flat_k[jnp.asarray(self.order_k, dtype=jnp.int32)]
+        )
+
+    def _from_gathered(self, vals: jnp.ndarray) -> StencilOperator:
         flat = jax.ops.segment_sum(
-            elem.reshape(-1)[self.order], self.dest,
-            num_segments=self.n_flat,
+            vals, self.dest, num_segments=self.n_flat,
         )
         s, n = self.template.diags.shape
         return dataclasses.replace(

@@ -784,8 +784,10 @@ def _ns_step_grid(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
     dt = cfg.dt
     dtype = u.dtype
 
-    Cg = problem.grid_refill.refill(
-        assembly.element_convection(mesh, u, variant="opsplit")
+    # flat k-major assembly: a (T, 3, 3) element tensor tile-pads 56.9×
+    # on device (10 GB HLO temp at 410k) — see element_convection_flat
+    Cg = problem.grid_refill.refill_flat(
+        assembly.element_convection_flat(mesh, u, variant="opsplit")
     )
     Ag = _dc.replace(
         Cg,
@@ -832,8 +834,8 @@ def _ns_step_matfree(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
     dtype = u.dtype
 
     if problem.conv_refill is not None:
-        C_op = problem.conv_refill.refill(
-            assembly.element_convection(mesh, u, variant="opsplit")
+        C_op = problem.conv_refill.refill_flat(
+            assembly.element_convection_flat(mesh, u, variant="opsplit")
         )
         conv = C_op.matvec
     else:
