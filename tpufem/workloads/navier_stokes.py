@@ -536,7 +536,13 @@ class NSProblem:
         from tpufem.utils.host import host_context
 
         if config.solver == "cg":
-            return cls._build_matfree(mesh, config)
+            # setup math on host (same policy as StokesProblem.build):
+            # each eager element-tensor op would otherwise ship to the
+            # accelerator, where the (T,3,3) stiffness einsum tile-pads
+            # ~43× — the padded remat program OOM'd the remote compile
+            # outright at 410k nodes
+            with host_context():
+                return cls._build_matfree(mesh, config)
         with host_context():
             k = assembly.assemble_dense(mesh, assembly.element_stiffness(mesh, signed=True))
             a_p = np.asarray(k).copy()
