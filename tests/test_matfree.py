@@ -588,6 +588,30 @@ def test_hbm_io_interpret_matches_streamed(sloop):
     np.testing.assert_array_equal(np.asarray(s_a["u"]), np.asarray(s_b["u"]))
 
 
+def test_roll_cache_matches_plain():
+    """cg_roll_cache (sublane-roll group cache, round-4 roofline lever)
+    is bit-exact vs the chained-dynamic-roll apply: identical roll
+    amounts and FMA order, only the sublane rotate is hoisted out of
+    the per-plane path.  Covered over the streamed pipeline (where the
+    cache overlaps the run-ahead DMAs)."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(solver="cg", cg_precond="twolevel",
+                cg_iters_visc=25, cg_iters_pressure=40,
+                cg_warm_start=True, cg_storage="grid_interpret",
+                cg_stream_diags="on", cg_stream_loop="on")
+    pa = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_roll_cache="on", **base)
+    )
+    pb = stokes.StokesProblem.build(
+        mesh, stokes.StokesConfig(cg_roll_cache="off", **base)
+    )
+    assert pa.visc_solver.roll_cache and not pb.visc_solver.roll_cache
+    assert pa.pressure_solver.roll_cache and not pb.pressure_solver.roll_cache
+    s_a, _ = stokes.run(pa, steps=3)
+    s_b, _ = stokes.run(pb, steps=3)
+    np.testing.assert_array_equal(np.asarray(s_a["u"]), np.asarray(s_b["u"]))
+
+
 def test_batch_cols_matches_sequential():
     """Column-batched viscous CG (both velocity columns in lockstep, one
     plane stream per iteration — round-4 roofline lever) ≡ the

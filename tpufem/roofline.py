@@ -216,10 +216,12 @@ def ab(n_side: int, n_circle: int, knobs, iters_p: int = 120,
        iters_v: int = 30, reps: int = 8, chain: int = 8,
        label: str | None = None, hbm_io: str = "auto",
        storage: str = "auto"):
-    """Interleaved A/B of (precond_bf16, batch_cols) knob combos at one
-    size: all configs built + compiled first, then timed round-robin
-    (rep 0 of every config, rep 1 of every config, ...) so tunnel drift
-    hits every config equally.  Returns one row per combo."""
+    """Interleaved A/B of StokesConfig knob combos at one size: all
+    configs built + compiled first, then timed round-robin (rep 0 of
+    every config, rep 1 of every config, ...) so tunnel drift hits
+    every config equally.  ``knobs``: a list of either (precond_bf16,
+    batch_cols) pairs (legacy) or dicts of StokesConfig field
+    overrides.  Returns one row per combo."""
     import jax
     import jax.numpy as jnp
 
@@ -234,15 +236,16 @@ def ab(n_side: int, n_circle: int, knobs, iters_p: int = 120,
     )
 
     entries = []
-    for pb, bc in knobs:
+    for knob in knobs:
+        if not isinstance(knob, dict):
+            pb, bc = knob
+            knob = {"cg_precond_bf16": pb, "cg_batch_cols": bc}
         t0 = time.perf_counter()
         config = bench_large.bench_config(
             "twolevel", n_nodes=int(mesh.n_nodes), transport="none",
             storage=storage, hbm_io=hbm_io,
         )
-        config = dataclasses.replace(
-            config, cg_precond_bf16=pb, cg_batch_cols=bc
-        )
+        config = dataclasses.replace(config, **knob)
         problem = stokes.StokesProblem.build(mesh, config)
         build_s = time.perf_counter() - t0
         ps = dataclasses.replace(problem.pressure_solver, tol=0.0,
@@ -262,12 +265,12 @@ def ab(n_side: int, n_circle: int, knobs, iters_p: int = 120,
         _sync(sv(bv))
         compile_s = time.perf_counter() - t0
         entries.append(dict(
-            pb=pb, bc=bc, ps=ps, vs=vs, sp=sp, sv=sv, bp=bp, bv=bv,
+            knob=knob, ps=ps, vs=vs, sp=sp, sv=sv, bp=bp, bv=bv,
             ns=ns, itemsize=itemsize, build_s=build_s,
             compile_s=compile_s, best_p=float("inf"),
             best_v=float("inf"),
         ))
-        print(f"# built pb16={pb} batch={bc} "
+        print(f"# built {knob or 'defaults'} "
               f"(build {build_s:.1f}s compile {compile_s:.1f}s)",
               flush=True)
 
@@ -306,8 +309,10 @@ def ab(n_side: int, n_circle: int, knobs, iters_p: int = 120,
             "ns": int(ns),
             "form": ("xl" if getattr(ps, "hbm_io", False)
                      else "stream" if streamed else "vmem"),
+            "knobs": e["knob"],
             "precond_bf16": pb,
             "batch_cols": vbatch,
+            "roll_cache": bool(getattr(ps, "roll_cache", False)),
             "chain": chain,
             "reps": reps,
             "iters_p": iters_p,
@@ -348,8 +353,8 @@ def main(argv=None):
             continue
         if args.ab:
             for r in ab(n_side, n_circle,
-                        knobs=[("off", "off"), ("off", "on"),
-                               ("on", "on")],
+                        knobs=[{"cg_roll_cache": "off"}, {},
+                               {"cg_precond_bf16": "on"}],
                         iters_p=args.iters_p, iters_v=args.iters_v,
                         reps=args.reps, chain=args.chain, label=label):
                 print(json.dumps(r), flush=True)

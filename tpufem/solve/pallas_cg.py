@@ -82,8 +82,23 @@ def _pad_even(n: int) -> int:
 
 
 def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
-                stream_loop: bool = False):
+                stream_loop: bool = False, roll_cache: bool = False):
     """K·x on the (ns, ns) grid from kernel REFS (diags + remainder).
+
+    ``roll_cache=True`` (dynamic-roll forms only — ``stream_loop`` and
+    the non-streamed ``loop`` form): build per apply a small VMEM cache
+    of the SUBLANE-rolled source plane, one entry per distinct row
+    shift (5–7 for these stencils, ``_row_groups``), with STATIC shift
+    amounts; each plane's FMA then needs only one dynamic LANE roll of
+    its cached group plane.  Probes (410k pressure, fixed iters, one
+    process) showed the two chained dynamic rotates are ~all of the
+    kernels' compute time (~200 µs/iter standalone) while lane-only
+    rotates hide completely under the DMA stream (196 µs ≈ the 192 µs
+    stream-only floor) — the cache removes the per-plane sublane
+    rotate at the cost of n_groups static rotates per apply.  Callers
+    allocate the cache scratch (``apply.n_groups`` planes, × C columns
+    for the column-batched twin) and pass a 3-row shift table
+    (``_shift_table(..., groups=True)``).
 
     Operands are read PER USE (``d[g]``, ``gr_rowT[:]`` at the dot) —
     reading every ref eagerly at kernel entry pins all operators live
@@ -114,9 +129,15 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
     # back to the unrolled static rolls, which handle any ns
     aligned = interpret or ns % 128 == 0
     loop = stream or (len(offsets) >= _LOOP_OFFSETS_FROM and aligned)
+    # roll cache applies only where rolls are DYNAMIC (the static
+    # unrolled forms already lower to static rotates)
+    dyn_rolls = (stream and stream_loop) or (loop and not stream)
+    rcache = roll_cache and dyn_rolls
+    grp_shifts = _row_groups(offsets, ns)[0] if rcache else ()
 
     def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, X, n_rest: int,
-              sh=None, scratch=None, sem=None, acc=None, x_ref=None):
+              sh=None, scratch=None, sem=None, acc=None, x_ref=None,
+              cache=None):
         """``sh``: (2, n_off) int32 SMEM ref of (row, lane) roll shifts —
         required when the loop form is active (Pallas kernels cannot
         capture array constants).  ``scratch``/``sem``: (2, ns, ns) VMEM
@@ -145,6 +166,30 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
         # at use, accumulation stays in the vector dtype
         xdt = x_ref.dtype if x_ref is not None else X.dtype
         up = lambda v: v if v.dtype == xdt else v.astype(xdt)
+        use_cache = rcache and cache is not None
+
+        def fill_cache():
+            # static-shift sublane rolls, one per distinct row shift;
+            # built per apply (the source plane changes every matvec)
+            Xv = rd()
+            for k, sft in enumerate(grp_shifts):
+                if sft == 0:
+                    cache[k] = Xv
+                elif interpret:
+                    cache[k] = jnp.roll(Xv, sft, -2)
+                else:
+                    from jax.experimental.pallas import tpu as pltpu
+
+                    cache[k] = pltpu.roll(Xv, jnp.int32(sft), Xv.ndim - 2)
+
+        def roll_cached(g):
+            base = cache[sh[2, g]]
+            if interpret:
+                return jnp.roll(base, sh[1, g], -1)
+            from jax.experimental.pallas import tpu as pltpu
+
+            return pltpu.roll(base, sh[1, g], base.ndim - 1)
+
         if stream and stream_loop:
             # Dynamic-plane double-buffer: ``d`` is ONE stacked
             # (_pad_even(n_off), ns, ns) HBM ref, the pipeline a fori_loop
@@ -163,6 +208,8 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 )
 
             def roll_g(g):
+                if use_cache:
+                    return roll_cached(g)
                 Xv = rd()
                 if interpret:
                     return jnp.roll(jnp.roll(Xv, sh[0, g], -2), sh[1, g], -1)
@@ -173,6 +220,8 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
 
             dma(jnp.int32(0), 0).start()
             dma(jnp.int32(1), 1).start()
+            if use_cache:
+                fill_cache()  # overlaps the two run-ahead DMAs
 
             if acc is None:
                 def body(i, Y):
@@ -242,6 +291,8 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
             assert sh is not None, "loop-form apply needs the shift ref"
 
             def rolled(g):
+                if use_cache:
+                    return roll_cached(g)
                 Xv = rd()
                 if interpret:
                     return jnp.roll(jnp.roll(Xv, sh[0, g], -2), sh[1, g], -1)
@@ -252,6 +303,8 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                     Xv.ndim - 1,
                 )
 
+            if use_cache:
+                fill_cache()
             if acc is None:
                 Y = jax.lax.fori_loop(
                     0, len(offsets), lambda g, Y: Y + up(d[g]) * rolled(g),
@@ -285,11 +338,12 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
             return None
         return Y
 
+    apply.n_groups = len(grp_shifts)
     return apply
 
 
 def _make_apply_cols(offsets, ns: int, interpret: bool, stream: bool = False,
-                     stream_loop: bool = False):
+                     stream_loop: bool = False, roll_cache: bool = False):
     """Column-tuple twin of :func:`_make_apply`: ``Xs`` is a TUPLE of C
     (ns, ns) planes and one plane load (one DMA stream pass when
     ``stream``) feeds all C FMAs — the round-4 roofline lever for the
@@ -304,13 +358,41 @@ def _make_apply_cols(offsets, ns: int, interpret: bool, stream: bool = False,
     the op set the single-column kernels already exercise."""
     aligned = interpret or ns % 128 == 0
     loop = stream or (len(offsets) >= _LOOP_OFFSETS_FROM and aligned)
+    dyn_rolls = (stream and stream_loop) or (loop and not stream)
+    rcache = roll_cache and dyn_rolls
+    grp_shifts = _row_groups(offsets, ns)[0] if rcache else ()
+    n_grp = len(grp_shifts)
 
     def apply(d, gr_rowT, gr_laneT, sc_row, sc_laneT, vals, Xs, n_rest: int,
-              sh=None, scratch=None, sem=None):
+              sh=None, scratch=None, sem=None, cache=None):
         C = len(Xs)
         zeros = tuple(jnp.zeros_like(x) for x in Xs)
+        use_cache = rcache and cache is not None
 
-        def roll_dyn(x, g):
+        def fill_cache():
+            # per column: one static-shift sublane roll per distinct
+            # row shift (see _make_apply's roll-cache docstring)
+            for c, Xv in enumerate(Xs):
+                for k, sft in enumerate(grp_shifts):
+                    if sft == 0:
+                        cache[c * n_grp + k] = Xv
+                    elif interpret:
+                        cache[c * n_grp + k] = jnp.roll(Xv, sft, -2)
+                    else:
+                        from jax.experimental.pallas import tpu as pltpu
+
+                        cache[c * n_grp + k] = pltpu.roll(
+                            Xv, jnp.int32(sft), Xv.ndim - 2
+                        )
+
+        def roll_dyn(x, g, c=0):
+            if use_cache:
+                base = cache[c * n_grp + sh[2, g]]
+                if interpret:
+                    return jnp.roll(base, sh[1, g], -1)
+                from jax.experimental.pallas import tpu as pltpu
+
+                return pltpu.roll(base, sh[1, g], base.ndim - 1)
             if interpret:
                 return jnp.roll(jnp.roll(x, sh[0, g], -2), sh[1, g], -1)
             from jax.experimental.pallas import tpu as pltpu
@@ -331,18 +413,20 @@ def _make_apply_cols(offsets, ns: int, interpret: bool, stream: bool = False,
 
             dma(jnp.int32(0), 0).start()
             dma(jnp.int32(1), 1).start()
+            if use_cache:
+                fill_cache()  # overlaps the two run-ahead DMAs
 
             def body(i, Ys):
                 g0 = 2 * i
                 dma(g0, 0).wait()
                 p0 = scratch[0][:]
-                Ys = tuple(y + p0 * roll_dyn(x, g0)
-                           for y, x in zip(Ys, Xs))
+                Ys = tuple(y + p0 * roll_dyn(x, g0, c)
+                           for c, (y, x) in enumerate(zip(Ys, Xs)))
                 dma(g0 + 2, 0).start()
                 dma(g0 + 1, 1).wait()
                 p1 = scratch[1][:]
-                Ys = tuple(y + p1 * roll_dyn(x, g0 + 1)
-                           for y, x in zip(Ys, Xs))
+                Ys = tuple(y + p1 * roll_dyn(x, g0 + 1, c)
+                           for c, (y, x) in enumerate(zip(Ys, Xs)))
                 dma(g0 + 3, 1).start()
                 return Ys
 
@@ -375,11 +459,13 @@ def _make_apply_cols(offsets, ns: int, interpret: bool, stream: bool = False,
                 )
         elif loop:
             assert sh is not None
+            if use_cache:
+                fill_cache()
 
             def body(g, Ys):
                 plane = d[g]
-                return tuple(y + plane * roll_dyn(x, g)
-                             for y, x in zip(Ys, Xs))
+                return tuple(y + plane * roll_dyn(x, g, c)
+                             for c, (y, x) in enumerate(zip(Ys, Xs)))
 
             Ys = jax.lax.fori_loop(0, len(offsets), body, zeros)
         else:
@@ -402,17 +488,40 @@ def _make_apply_cols(offsets, ns: int, interpret: bool, stream: bool = False,
             Ys = tuple(out)
         return Ys
 
+    apply.n_groups = n_grp
     return apply
 
 
-def _shift_table(offsets, ns: int, pad_to: int = 0) -> jnp.ndarray:
-    """(2, max(n_off, pad_to)) int32 roll shifts for the loop-form apply
+def _row_groups(offsets, ns: int):
+    """Unique sublane (row) roll shifts and the per-plane group index.
+
+    The grid stencils touch only {0, ±1, ±2} mod ns in each axis, so
+    the n_off planes share 5–7 distinct row shifts — the basis of the
+    roll-cache apply (see ``_make_apply``)."""
+    rows = [(-dy) % ns for dy, _ in offsets]
+    uniq = sorted(set(rows))
+    idx = {v: k for k, v in enumerate(uniq)}
+    return tuple(uniq), [idx[r] for r in rows]
+
+
+def _shift_rows(offsets, ns: int, pad_to: int = 0,
+                groups: bool = False) -> np.ndarray:
+    """Host int32 table for the loop-form apply: rows 0/1 are (row,
+    lane) roll shifts, optional row 2 the roll-cache group index
     (zero-padded columns for the stream_loop pad planes)."""
     rows = [[(-dy) % ns for dy, _ in offsets],
             [(-s) % ns for _, s in offsets]]
+    if groups:
+        rows.append(list(_row_groups(offsets, ns)[1]))
     for r in rows:
         r.extend([0] * max(0, pad_to - len(r)))
-    return jnp.asarray(rows, dtype=jnp.int32)
+    return np.asarray(rows, dtype=np.int32)
+
+
+def _shift_table(offsets, ns: int, pad_to: int = 0,
+                 groups: bool = False) -> jnp.ndarray:
+    """Device twin of :func:`_shift_rows`."""
+    return jnp.asarray(_shift_rows(offsets, ns, pad_to, groups))
 
 
 def _stacked_padded_diags(diags: jnp.ndarray) -> jnp.ndarray:
@@ -631,6 +740,11 @@ class ViscousGridCG:
     stream_diags: bool = False  # diag planes HBM-resident, DMA-streamed
     stream_loop: bool = False  # + fori_loop DMA pipeline over ONE stacked
     # HBM array (O(1) program size; needs ns % 128 == 0)
+    roll_cache: bool = True  # dynamic-roll forms: cache the sublane-
+    # rolled source plane per distinct row shift so each plane's FMA
+    # needs only a dynamic LANE roll (which probes show hides under the
+    # DMA stream) — see _make_apply.  Auto-ignored by the static-roll
+    # forms and forced off in hbm_io mode (VMEM budget)
     hbm_io: bool = False  # XL mode (≥~1.1M nodes): b/x0/out stay in HBM
     # (DMA'd through 3 VMEM CG scratch planes) and the CG runs ref-carried
     # (_cg_core_ref) — together they cut the kernel's VMEM demand from
@@ -656,10 +770,16 @@ class ViscousGridCG:
         sloop = stream and self.stream_loop and (interpret or ns % 128 == 0)
         hbm = self.hbm_io
         assert not hbm or stream, "hbm_io requires stream_diags"
+        # roll cache off in XL mode: its n_groups extra VMEM planes are
+        # exactly what hbm_io exists to avoid at ns ≥ 1280
+        rc = self.roll_cache and not hbm
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
-                              stream_loop=sloop)
+                              stream_loop=sloop, roll_cache=rc)
         apply_cols = _make_apply_cols(K.offsets, ns, interpret,
-                                      stream=stream, stream_loop=sloop)
+                                      stream=stream, stream_loop=sloop,
+                                      roll_cache=rc)
+        # 0 when the active form rolls statically (no cache required)
+        ngrp = max(apply_K.n_groups, apply_cols.n_groups)
         n_rest = K.n_rest
 
         inv_diag = jnp.where(
@@ -697,13 +817,17 @@ class ViscousGridCG:
             else:
                 gr, gl, sr, sl, vals, mask, invd, b, x0, out = rest[:10]
                 scr = rest[10:]
+            cache = None
+            if ngrp and not hbm:
+                cache = scr[-1]
+                scr = scr[:-1]
 
             def mv(X):
                 m = mask[:]
                 KX = apply_K(
                     d, gr, gl, sr, sl, vals, m * X, n_rest, sh=sh,
                     scratch=scr[:2] if scr else None,
-                    sem=scr[2] if scr else None,
+                    sem=scr[2] if scr else None, cache=cache,
                 )
                 return m * (X + dt_nu * KX) + (1.0 - m) * X
 
@@ -760,7 +884,7 @@ class ViscousGridCG:
                         d, gr, gl, sr, sl, vals,
                         tuple(m * Xc for Xc in Xs), n_rest, sh=sh,
                         scratch=scr[:2] if scr else None,
-                        sem=scr[2] if scr else None,
+                        sem=scr[2] if scr else None, cache=cache,
                     )
                     return tuple(
                         m * (Xc + dt_nu * KXc) + (1.0 - m) * Xc
@@ -804,8 +928,10 @@ class ViscousGridCG:
 
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        grps = ngrp > 0
         if sloop:
-            shifts = _shift_table(K.offsets, ns, pad_to=_pad_even(n_off) - 2)
+            shifts = _shift_table(K.offsets, ns, pad_to=_pad_even(n_off) - 2,
+                                  groups=grps)
             diag_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
             diag_args = [_stacked_padded_diags(diags_eff)]
             scratch_shapes = [
@@ -814,7 +940,7 @@ class ViscousGridCG:
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         elif stream:
-            shifts = _shift_table(K.offsets, ns)
+            shifts = _shift_table(K.offsets, ns, groups=grps)
             diag_specs = [
                 pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_off)
             ]
@@ -825,10 +951,16 @@ class ViscousGridCG:
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
-            shifts = _shift_table(K.offsets, ns)
+            shifts = _shift_table(K.offsets, ns, groups=grps)
             diag_specs = [vmem()]
             diag_args = [diags_eff]
             scratch_shapes = []
+        if grps:
+            # roll cache: sublane-rolled source planes, 2 column slots
+            # (the batched viscous kernel caches per column)
+            scratch_shapes = scratch_shapes + [
+                pltpu.VMEM((2 * ngrp, ns, ns), K.diags.dtype),
+            ]
 
         hbmspec = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
         if hbm:
@@ -931,6 +1063,8 @@ class PressureGridCG:
     # interpret tests cover the lean math without DMA streaming
     hbm_io: bool = False  # XL mode: b/x0/out in HBM + ref-carried CG
     # (see ViscousGridCG.hbm_io).  Requires stream_diags; implies lean.
+    roll_cache: bool = True  # dynamic-roll forms: sublane-roll cache
+    # (see ViscousGridCG.roll_cache / _make_apply); off in hbm_io mode
     precond_bf16: bool = False  # streamed two-level only: keep a SECOND
     # bf16 copy of the diag planes in HBM and stream IT for the
     # preconditioner's two K-applies (the CG advance keeps f32) — 2 of
@@ -965,6 +1099,7 @@ class PressureGridCG:
         stream_loop: bool = False,
         hbm_io: bool = False,
         precond_bf16: bool = False,
+        roll_cache: bool = True,
     ) -> "PressureGridCG":
         from tpufem.solve.cg import estimate_lmax
         from tpufem.solve.twolevel import coarse_inverse, galerkin_coarse
@@ -1049,6 +1184,7 @@ class PressureGridCG:
             stream_loop=stream_loop,
             hbm_io=hbm_io,
             precond_bf16=precond_bf16 and stream_diags and use_coarse,
+            roll_cache=roll_cache,
         )
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -1067,8 +1203,10 @@ class PressureGridCG:
         hbm = self.hbm_io
         assert not hbm or stream, "hbm_io requires stream_diags"
         pb16 = self.precond_bf16 and stream and use_coarse
+        rc = self.roll_cache and not hbm
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
-                              stream_loop=sloop)
+                              stream_loop=sloop, roll_cache=rc)
+        ngrp = apply_K.n_groups
         n_rest = K.n_rest
         ncr, ncl = self.Pr.shape[0], self.Pl.shape[0]
 
@@ -1110,6 +1248,10 @@ class PressureGridCG:
                 (gr, gl, sr, sl, vals, ml, act, mmask, smask, invd, pr,
                  prt, plm, plt, acinv, fa, fat, fb, b, x0, out) = rest[:21]
                 scr = rest[21:]
+            cache = None
+            if ngrp:
+                cache = scr[-1]
+                scr = scr[:-1]
             scr16 = scr[3:6] if pb16 else None  # bf16 buffer pair + sem
             ww = jnp.sum(act[:] * act[:])
 
@@ -1117,7 +1259,7 @@ class PressureGridCG:
                 return apply_K(
                     d, gr, gl, sr, sl, vals, X, n_rest, sh=sh,
                     scratch=scr[:2] if scr else None,
-                    sem=scr[2] if scr else None,
+                    sem=scr[2] if scr else None, cache=cache,
                 )
 
             def mvp(X):
@@ -1127,7 +1269,7 @@ class PressureGridCG:
                     return mv(X)
                 return apply_K(
                     d16, gr, gl, sr, sl, vals, X, n_rest, sh=sh,
-                    scratch=scr16[:2], sem=scr16[2],
+                    scratch=scr16[:2], sem=scr16[2], cache=cache,
                 )
 
             def project(X):
@@ -1229,8 +1371,10 @@ class PressureGridCG:
 
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        grps = ngrp > 0
         if sloop:
-            shifts = _shift_table(K.offsets, ns, pad_to=_pad_even(n_off) - 2)
+            shifts = _shift_table(K.offsets, ns, pad_to=_pad_even(n_off) - 2,
+                                  groups=grps)
             diag_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
             diag_args = [_stacked_padded_diags(K.diags)]
             scratch_shapes = [
@@ -1239,7 +1383,7 @@ class PressureGridCG:
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         elif stream:
-            shifts = _shift_table(K.offsets, ns)
+            shifts = _shift_table(K.offsets, ns, groups=grps)
             diag_specs = [
                 pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_off)
             ]
@@ -1250,7 +1394,7 @@ class PressureGridCG:
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
-            shifts = _shift_table(K.offsets, ns)
+            shifts = _shift_table(K.offsets, ns, groups=grps)
             diag_specs = [vmem()]
             diag_args = [K.diags]
             scratch_shapes = []
@@ -1274,6 +1418,11 @@ class PressureGridCG:
                 pltpu.VMEM((ns, ns), jnp.bfloat16),
                 pltpu.VMEM((ns, ns), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
+            ]
+        if grps:
+            # roll cache (single-field kernel: one column slot)
+            scratch_shapes = scratch_shapes + [
+                pltpu.VMEM((ngrp, ns, ns), K.diags.dtype),
             ]
 
         n_planes = 17 if lean else 20
@@ -1527,6 +1676,8 @@ class NSGridBiCGStab:
     # per-iteration stream) and it needs ns % 128 == 0 (tile-aligned
     # plane slices of the stacked ref).  This is what takes the NS grid
     # kernels past the ~160k all-VMEM ceiling (diags no longer resident).
+    roll_cache: bool = True  # dynamic-roll forms: sublane-roll cache
+    # (see ViscousGridCG.roll_cache / _make_apply)
 
     @functools.cached_property
     def _solve_fn(self):
@@ -1537,26 +1688,31 @@ class NSGridBiCGStab:
             "streamed NS kernels need tile-aligned planes (ns % 128 == 0)"
         )
         apply_K = _make_apply(self.offsets, ns, interpret, stream=stream,
-                              stream_loop=stream)
+                              stream_loop=stream,
+                              roll_cache=self.roll_cache)
         apply_cols = _make_apply_cols(self.offsets, ns, interpret,
-                                      stream=stream, stream_loop=stream)
+                                      stream=stream, stream_loop=stream,
+                                      roll_cache=self.roll_cache)
+        ngrp = max(apply_K.n_groups, apply_cols.n_groups)
         # host numpy, converted per-trace inside solve2: this property is
         # first evaluated INSIDE an outer jit trace (the NS step), where a
         # cached jnp constant would be a leaked tracer on the next trace
         pad_to = (_pad_even(len(self.offsets)) - 2) if stream else 0
-        rows = [[(-dy) % ns for dy, _ in self.offsets],
-                [(-s) % ns for _, s in self.offsets]]
-        for r in rows:
-            r.extend([0] * max(0, pad_to - len(r)))
-        sh_np = np.asarray(rows, dtype=np.int32)
+        sh_np = _shift_rows(self.offsets, ns, pad_to=pad_to,
+                            groups=ngrp > 0)
 
         def kernel(sh, d, gr, gl, sr, sl, vals, mask, invd, b, x0, out,
                    *scr):
+            cache = None
+            if ngrp:
+                cache = scr[-1]
+                scr = scr[:-1]
+
             def mv(X):
                 m = mask[:]
                 KX = apply_K(d, gr, gl, sr, sl, vals, m * X, n_rest, sh=sh,
                              scratch=scr[:2] if scr else None,
-                             sem=scr[2] if scr else None)
+                             sem=scr[2] if scr else None, cache=cache)
                 return m * (X + KX) + (1.0 - m) * X
 
             jac = lambda r: invd[:] * r
@@ -1569,7 +1725,7 @@ class NSGridBiCGStab:
                         d, gr, gl, sr, sl, vals,
                         tuple(m * Xc for Xc in Xs), n_rest, sh=sh,
                         scratch=scr[:2] if scr else None,
-                        sem=scr[2] if scr else None,
+                        sem=scr[2] if scr else None, cache=cache,
                     )
                     return tuple(
                         m * (Xc + KXc) + (1.0 - m) * Xc
@@ -1608,6 +1764,11 @@ class NSGridBiCGStab:
                 diag_arg = diags
                 diag_spec = vmem()
                 scratch_shapes = []
+            if ngrp:
+                # roll cache, 2 column slots (batched BiCGStab)
+                scratch_shapes = scratch_shapes + [
+                    pltpu.VMEM((2 * ngrp, ns, ns), diags.dtype),
+                ]
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct(b_grid.shape, b_grid.dtype),

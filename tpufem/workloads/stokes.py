@@ -132,6 +132,13 @@ class StokesConfig:
     # velocity columns' CGs in lockstep (one plane stream / reduction
     # chain per iteration serves both).  "off" restores the sequential
     # per-column CGs, whose arithmetic the hbm_io XL form always uses
+    cg_roll_cache: str = "on"  # | "off": dynamic-roll grid kernels —
+    # cache the sublane-rolled source plane per distinct row shift so
+    # each plane's FMA needs only a dynamic lane roll (probes: the
+    # chained dynamic rotates are ~all of the kernels' compute time;
+    # lane-only rotates hide under the DMA stream).  See
+    # solve/pallas_cg._make_apply; auto-ignored by static-roll forms
+    # and by hbm_io (VMEM budget)
     cg_precond_bf16: str = "off"  # | "on": streamed grid kernels only —
     # keep a second bf16 copy of the pressure diag planes and stream IT
     # for the preconditioner's two K-applies (2 of 3 plane streams per
@@ -665,6 +672,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     tol=config.cg_tol_visc,
                     interpret=interpret,
                     batch_cols=config.cg_batch_cols == "on",
+                    roll_cache=config.cg_roll_cache == "on",
                     stream_diags=stream,
                     stream_loop=sloop,
                     hbm_io=hbm_io,
@@ -698,6 +706,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     stream_loop=sloop,
                     hbm_io=hbm_io,
                     precond_bf16=config.cg_precond_bf16 == "on",
+                    roll_cache=config.cg_roll_cache == "on",
                 )
                 dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
                 return visc, pressure, materialize(dx_csr), materialize(dy_csr), {}
