@@ -745,7 +745,7 @@ class ViscousGridCG:
     # needs only a dynamic LANE roll (which probes show hides under the
     # DMA stream) — see _make_apply.  Auto-ignored by the static-roll
     # forms and forced off in hbm_io mode (VMEM budget)
-    hbm_io: bool = False  # XL mode (≥~1.1M nodes): b/x0/out stay in HBM
+    hbm_io: bool = False  # XL mode (auto ≥700k nodes): b/x0/out stay in HBM
     # (DMA'd through 3 VMEM CG scratch planes) and the CG runs ref-carried
     # (_cg_core_ref) — together they cut the kernel's VMEM demand from
     # ~29 plane-equivalents (measured 117.3 MB at ns=1024) to ~12, which

@@ -122,7 +122,11 @@ class StokesConfig:
     # explicit VMEM scratch, scalar-only loop carries) — together they
     # roughly halve the kernel's VMEM demand, carrying the whole-solve
     # kernels past the 1.05M-node ceiling of round 3.  "auto" = on from
-    # 1.1M nodes; "on" forces it (requires/implies cg_stream_diags)
+    # 700k nodes (round 5: the value-carried streamed kernels spill
+    # Mosaic registers in VMEM — 78 MB of spill slots at ns=896 OOM the
+    # batched viscous kernel outright, and the spill handling is the
+    # 875 s compile outlier of xl_r4; the ref-carried core has neither
+    # problem).  "on" forces it (requires/implies cg_stream_diags)
     cg_coarse_nodes: int = 2048  # twolevel: target coarse-space size
     cg_coarse_dtype: str = "same"  # | "bf16": store the dense coarse
     # inverse in bfloat16 — halves the HBM bytes of the byte-dominant
@@ -640,7 +644,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
         )
         sloop = config.cg_stream_loop in ("on", "auto")
         hbm_io = config.cg_hbm_io == "on" or (
-            config.cg_hbm_io == "auto" and mesh.n_nodes >= 1_100_000
+            config.cg_hbm_io == "auto" and mesh.n_nodes >= 700_000
         )
         stream = stream or hbm_io  # XL mode streams by construction
 
