@@ -55,16 +55,17 @@ def _halo_exchange(x_local, d: int, n_shards: int, axis: str):
     return jnp.concatenate([from_prev, x_local, from_next], axis=0)
 
 
-def _roll_rows(x_local, dy: int, n_shards: int, axis: str):
+def _roll_rows(x_local, dy: int, halo_fn):
     """out[iy] = X[(iy+dy) mod ns] across strips, |dy| ≤ 1 (the periodic
     merge / copy-back rolls of the pressure solve)."""
     h = x_local.shape[0]
-    xh = _halo_exchange(x_local, 1, n_shards, axis)
+    xh = halo_fn(x_local, 1)
     return xh[1 + dy : 1 + dy + h]
 
 
 def make_sharded_grid_solvers(
-    device_mesh: DeviceMesh, problem, axis: str = "space"
+    device_mesh: DeviceMesh, problem, axis: str = "space",
+    halo: str = "ppermute",
 ):
     """(visc_solve, pressure_solve) sharded over ``axis``.
 
@@ -72,7 +73,12 @@ def make_sharded_grid_solvers(
     ``"grid_interpret"``).  Returns jitted ``visc_solve(b (N,2)) →
     (N,2)`` and ``pressure_solve(b (N,)) → (N,)`` matching the
     single-device ``ViscousGridCG.solve`` / ``PressureGridCG.solve``
-    with zero initial guesses and fixed iteration counts."""
+    with zero initial guesses and fixed iteration counts.
+
+    ``halo``: ``"ppermute"`` (XLA collectives, the validated virtual-mesh
+    form) or ``"rdma"`` (in-kernel Pallas remote DMA,
+    :mod:`tpufem.parallel.grid_remote_dma` — bit-equal by construction,
+    interpret-emulated off-TPU)."""
     visc: ViscousGridCG = problem.visc_solver
     pres: PressureGridCG = problem.pressure_solver
     Kv, Kp = visc.K, pres.K
@@ -86,6 +92,13 @@ def make_sharded_grid_solvers(
     dmax = max(
         [abs(d) for d in sdy_v] + [abs(d) for d in sdy_p] + [1]
     )
+
+    if halo == "rdma":
+        from tpufem.parallel.grid_remote_dma import make_halo_rdma
+
+        halo_fn = make_halo_rdma(axis)
+    else:
+        halo_fn = lambda x_loc, dd: _halo_exchange(x_loc, dd, s_, axis)
     assert h > dmax, (
         f"strip height {h} must exceed the halo depth {dmax} — "
         "use fewer shards or a larger mesh"
@@ -116,7 +129,7 @@ def make_sharded_grid_solvers(
         """K·x on a local (h, ns) strip (one halo exchange per call)."""
 
         def apply(x_loc):
-            xh = _halo_exchange(x_loc, dmax, s_, axis)
+            xh = halo_fn(x_loc, dmax)
             y = jnp.zeros_like(x_loc)
             for g, ((_, s), dy) in enumerate(zip(offsets, sdy)):
                 y = y + diags_loc[g] * jnp.roll(
@@ -255,11 +268,11 @@ def make_sharded_grid_solvers(
 
         # rhs: M_L ∘ b, slave edge merged onto master edge (row roll −1)
         rhs = ml * b
-        rhs = rhs + _roll_rows(rhs * sm, -1, s_, axis) * mm
+        rhs = rhs + _roll_rows(rhs * sm, -1, halo_fn) * mm
         rhs = rhs * act
         p = cg(apply_k, precond, project, rhs, iters_p, tol_p)
         # copy the master row back onto the slave row (row roll +1)
-        return p * (1.0 - sm) + _roll_rows(p * mm, 1, s_, axis) * sm
+        return p * (1.0 - sm) + _roll_rows(p * mm, 1, halo_fn) * sm
 
     @jax.jit
     def visc_solve(b):  # (N, 2) → (N, 2)
