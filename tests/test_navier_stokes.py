@@ -355,3 +355,40 @@ def test_ns_grid_streamed_matches_vmem():
         uv, _ = ns.run(pv, steps=5, host_loop=True)
         ust, _ = ns.run(pst, steps=5, host_loop=True)
         np.testing.assert_array_equal(np.asarray(uv), np.asarray(ust))
+
+
+def test_ns_grid_hbm_io_matches_streamed():
+    """NSConfig(cg_hbm_io='on'): the XL NS form — b/x0/out HBM-resident,
+    ref-carried BiCGStab velocity (_bicgstab_core_ref) + ref-carried
+    pressure CG — is bit-identical to the value-carried streamed kernels
+    in interpret mode (same arithmetic order, different state residency).
+    This is what carries NS past ~700k nodes: the value-carried form
+    pins ~8 planes per column as loop carries that Mosaic spills into
+    VMEM (compile OOM at ns=896 on the Stokes twin)."""
+    import tpufem
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    kw = dict(dt=1e-4, nu=1.0, solver="cg", precision="f64",
+              cg_iters_visc=40, cg_iters_pressure=80, cg_tol=1e-10,
+              cg_storage="grid_interpret")
+    # sequential columns on both sides: the hbm form is sequential by
+    # construction, and sequential ≡ batched only to ~1e-10
+    pst = ns.NSProblem.build(
+        mesh, ns.NSConfig(cg_stream_diags="on", cg_hbm_io="off",
+                          cg_batch_cols="off", **kw)
+    )
+    phb = ns.NSProblem.build(
+        mesh, ns.NSConfig(cg_hbm_io="on", cg_batch_cols="off", **kw)
+    )
+    assert not pst.vel_solver_grid.hbm_io
+    assert phb.vel_solver_grid.hbm_io and phb.vel_solver_grid.stream_diags
+    assert phb.pressure_solver.hbm_io
+    ust, _ = ns.run(pst, steps=5, host_loop=True)
+    uhb, _ = ns.run(phb, steps=5, host_loop=True)
+    np.testing.assert_array_equal(np.asarray(ust), np.asarray(uhb))
+    # and against the batched default at solver tolerance
+    pbt = ns.NSProblem.build(
+        mesh, ns.NSConfig(cg_stream_diags="on", cg_batch_cols="on", **kw)
+    )
+    ubt, _ = ns.run(pbt, steps=5, host_loop=True)
+    np.testing.assert_allclose(np.asarray(ubt), np.asarray(uhb), atol=1e-8)

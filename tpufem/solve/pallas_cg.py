@@ -1643,6 +1643,74 @@ def _bicgstab_core_cols(matvec, precond, b, x0, iters: int, tol: float):
     return x
 
 
+def _bicgstab_core_ref(mv_into, precond_into, x, r, rhat, p, v, t1, t2,
+                       iters: int, tol: float):
+    """``_bicgstab_core`` with FULLY ref-resident state — the BiCGStab
+    twin of :func:`_cg_core_ref` (same motivation: the SSA form's loop
+    carries pin ~8 planes per column and Mosaic's register allocator
+    spills them into VMEM — 78 MB measured on the value-carried viscous
+    kernel at ns=896, a compile-time OOM).
+
+    Arithmetic order matches :func:`_bicgstab_core` exactly (finite-or-
+    zero breakdown guards included) — bit-identical in interpret mode.
+
+    Contracts: on entry ``x`` holds x0 and ``r`` holds b; on exit ``x``
+    holds the solution.  ``mv_into(dst, src)`` writes A·src[:] into
+    ``dst`` reading the source per use; ``precond_into(dst, src)``
+    writes the (Jacobi) preconditioner application.  ``rhat``/``p``/
+    ``v``/``t1``/``t2`` are solver-owned scratch planes."""
+
+    def fin(s):
+        return jnp.where(jnp.isfinite(s), s, jnp.zeros_like(s))
+
+    atol2 = (tol * jnp.maximum(jnp.sqrt(jnp.sum(r[:] * r[:])), 1e-30)) ** 2
+    mv_into(t1, x)
+    r[:] = r[:] - t1[:]  # r0 = b − A·x0
+    rhat[:] = r[:]
+    p[:] = jnp.zeros_like(r[:])
+    v[:] = jnp.zeros_like(r[:])
+    rr0 = jnp.sum(r[:] * r[:])
+
+    def advance(rho, alpha, omega):
+        rho_new = jnp.sum(rhat[:] * r[:])
+        beta = fin(jnp.where(
+            (rho != 0) & (omega != 0), (rho_new / rho) * (alpha / omega), 0.0
+        ))
+        p[:] = r[:] + beta * (p[:] - omega * v[:])
+        precond_into(t1, p)  # phat
+        mv_into(v, t1)
+        denom = jnp.sum(rhat[:] * v[:])
+        alpha = fin(jnp.where(denom != 0, rho_new / denom, 0.0))
+        r[:] = r[:] - alpha * v[:]  # s
+        x[:] = x[:] + alpha * t1[:]  # x += α·phat (phat still in t1)
+        precond_into(t1, r)  # shat
+        mv_into(t2, t1)  # t
+        tt = jnp.sum(t2[:] * t2[:])
+        omega = fin(jnp.where(tt != 0, jnp.sum(t2[:] * r[:]) / tt, 0.0))
+        x[:] = x[:] + omega * t1[:]
+        r[:] = r[:] - omega * t2[:]
+        return rho_new, alpha, omega, jnp.sum(r[:] * r[:])
+
+    one = jnp.asarray(1.0, dtype=rr0.dtype)
+    if tol > 0:
+        def cond(st):
+            _, _, _, rr, k = st
+            return jnp.logical_and(k < iters, rr > atol2)
+
+        def wbody(st):
+            rho, alpha, omega, _, k = st
+            rho, alpha, omega, rr = advance(rho, alpha, omega)
+            return (rho, alpha, omega, rr, k + 1)
+
+        jax.lax.while_loop(cond, wbody, (one, one, one, rr0, jnp.int32(0)))
+    else:
+        def body(_, st):
+            rho, alpha, omega, _ = st
+            return advance(rho, alpha, omega)
+
+        jax.lax.fori_loop(0, iters, body, (one, one, one, rr0))
+
+
 @dataclasses.dataclass(frozen=True)
 class NSGridBiCGStab:
     """Whole-solve kernel for the NS implicit-advection velocity system
@@ -1678,21 +1746,32 @@ class NSGridBiCGStab:
     # kernels past the ~160k all-VMEM ceiling (diags no longer resident).
     roll_cache: bool = True  # dynamic-roll forms: sublane-roll cache
     # (see ViscousGridCG.roll_cache / _make_apply)
+    hbm_io: bool = False  # XL mode (auto ≥700k nodes): b/x0/out stay in
+    # HBM (DMA'd through the ref-carried solver's scratch planes) and the
+    # BiCGStab runs ref-carried (_bicgstab_core_ref: x/r/rhat/p/v + 2
+    # temps in explicit VMEM scratch, scalar-only loop carries) —
+    # sequential columns, mask must be ALL-ONES (the NS velocity system
+    # applies wall BCs after the projection, workloads/navier_stokes.py
+    # passes ones_mask by construction).  Requires/implies stream_diags.
 
     @functools.cached_property
     def _solve_fn(self):
         ns, n_rest = self.ns, self.n_rest
         iters, tol, interpret = self.iters, self.tol, self.interpret
-        stream = self.stream_diags
+        hbm = self.hbm_io
+        stream = self.stream_diags or hbm
         assert not stream or interpret or ns % 128 == 0, (
             "streamed NS kernels need tile-aligned planes (ns % 128 == 0)"
         )
+        # roll cache off in XL mode (its n_groups extra VMEM planes are
+        # what hbm_io exists to avoid)
+        rc = self.roll_cache and not hbm
         apply_K = _make_apply(self.offsets, ns, interpret, stream=stream,
                               stream_loop=stream,
-                              roll_cache=self.roll_cache)
+                              roll_cache=rc)
         apply_cols = _make_apply_cols(self.offsets, ns, interpret,
                                       stream=stream, stream_loop=stream,
-                                      roll_cache=self.roll_cache)
+                                      roll_cache=rc)
         ngrp = max(apply_K.n_groups, apply_cols.n_groups)
         # host numpy, converted per-trace inside solve2: this property is
         # first evaluated INSIDE an outer jit trace (the NS step), where a
@@ -1700,6 +1779,42 @@ class NSGridBiCGStab:
         pad_to = (_pad_even(len(self.offsets)) - 2) if stream else 0
         sh_np = _shift_rows(self.offsets, ns, pad_to=pad_to,
                             groups=ngrp > 0)
+
+        def kernel_hbm(sh, d, gr, gl, sr, sl, vals, invd, b, x0, out,
+                       *scr):
+            # XL layout: b/x0/out in HBM; CG state in explicit VMEM
+            # scratch; mask dropped (all-ones contract — see hbm_io)
+            from jax.experimental.pallas import tpu as pltpu
+
+            kx, kr, krh, kp, kv, kt1, kt2, iosem = scr[-8:]
+            scr = scr[:-8]
+
+            def mv_into(dst, src):
+                apply_K(d, gr, gl, sr, sl, vals, None, n_rest, sh=sh,
+                        scratch=scr[:2] if scr else None,
+                        sem=scr[2] if scr else None, acc=dst, x_ref=src)
+                dst[:] = src[:] + dst[:]
+
+            def precond_into(dst, src):
+                dst[:] = invd[:] * src[:]
+
+            for c in range(b.shape[0]):
+                ci = jnp.int32(c)  # i32: python ints trace i64 under x64
+                cp_x = pltpu.make_async_copy(x0.at[ci], kx,
+                                             iosem.at[jnp.int32(0)])
+                cp_b = pltpu.make_async_copy(b.at[ci], kr,
+                                             iosem.at[jnp.int32(1)])
+                cp_x.start()
+                cp_b.start()
+                cp_x.wait()
+                cp_b.wait()
+                _bicgstab_core_ref(mv_into, precond_into,
+                                   kx, kr, krh, kp, kv, kt1, kt2,
+                                   iters, tol)
+                cp_o = pltpu.make_async_copy(kx, out.at[ci],
+                                             iosem.at[jnp.int32(0)])
+                cp_o.start()
+                cp_o.wait()
 
         def kernel(sh, d, gr, gl, sr, sl, vals, mask, invd, b, x0, out,
                    *scr):
@@ -1750,11 +1865,13 @@ class NSGridBiCGStab:
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
+        hbmspec = lambda: pl.BlockSpec(memory_space=pltpu.HBM)
+
         def solve2(diags, gr, gl, sr, sl, vals, mask_g, invd_g, b_grid,
                    x0_grid):
             if stream:
                 diag_arg = _stacked_padded_diags(diags)
-                diag_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+                diag_spec = hbmspec()
                 scratch_shapes = [
                     pltpu.VMEM((ns, ns), diags.dtype),
                     pltpu.VMEM((ns, ns), diags.dtype),
@@ -1764,6 +1881,26 @@ class NSGridBiCGStab:
                 diag_arg = diags
                 diag_spec = vmem()
                 scratch_shapes = []
+            if hbm:
+                scratch_shapes = scratch_shapes + [
+                    pltpu.VMEM((ns, ns), diags.dtype)  # x r rhat p v t1 t2
+                    for _ in range(7)
+                ] + [pltpu.SemaphoreType.DMA((2,))]
+                return pl.pallas_call(
+                    kernel_hbm,
+                    out_shape=jax.ShapeDtypeStruct(b_grid.shape,
+                                                   b_grid.dtype),
+                    in_specs=[smem(), diag_spec] + [vmem()] * 6
+                    + [hbmspec(), hbmspec()],
+                    out_specs=hbmspec(),
+                    scratch_shapes=scratch_shapes,
+                    interpret=interpret,
+                    compiler_params=None if interpret
+                    else pltpu.CompilerParams(
+                        vmem_limit_bytes=_VMEM_LIMIT,
+                    ),
+                )(jnp.asarray(sh_np), diag_arg, gr, gl, sr, sl, vals,
+                  invd_g, b_grid, x0_grid)
             if ngrp:
                 # roll cache, 2 column slots (batched BiCGStab)
                 scratch_shapes = scratch_shapes + [

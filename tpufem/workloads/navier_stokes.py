@@ -508,6 +508,14 @@ class NSConfig:
     # — needs ns % 128 == 0), "auto" = stream from 360k nodes up (same
     # measured crossover as the Stokes kernels; the all-VMEM NS kernel
     # OOMs past ~160k because diags + BiCGStab state exceed 128 MiB)
+    cg_hbm_io: str = "auto"  # grid kernels, XL regime: keep the solves'
+    # b/x0/out planes in HBM and run BOTH solvers ref-carried
+    # (_bicgstab_core_ref velocity / _cg_core_ref pressure — scalar-only
+    # loop carries).  The value-carried streamed BiCGStab pins ~8 planes
+    # per column as loop carries, which Mosaic spills into VMEM (the
+    # same pathology that compile-OOM'd the Stokes kernels at ns=896) —
+    # the ref-carried forms are what carry NS past ~700k nodes.  "auto"
+    # = on from 700k nodes; "on" forces it (implies cg_stream_diags)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -711,9 +719,14 @@ class NSProblem:
                     config.cg_stream_diags == "auto"
                     and mesh.n_nodes >= 360_000
                 )
+                hbm_io = config.cg_hbm_io == "on" or (
+                    config.cg_hbm_io == "auto" and mesh.n_nodes >= 700_000
+                )
+                stream = stream or hbm_io
                 # the streamed pipeline slices a stacked HBM ref —
                 # hardware needs tile-aligned planes
                 stream = stream and (interpret or ns_grid % 128 == 0)
+                hbm_io = hbm_io and stream
                 vel_grid = NSGridBiCGStab(
                     ns=ns_grid,
                     offsets=grid_refill.template.offsets,
@@ -723,6 +736,7 @@ class NSProblem:
                     interpret=interpret,
                     batch_cols=config.cg_batch_cols == "on",
                     stream_diags=stream,
+                    hbm_io=hbm_io,
                 )
                 ones = jnp.ones(mesh.n_nodes, dtype=dtype)
                 # pressure: same Poisson operator through the whole-solve
@@ -749,6 +763,7 @@ class NSProblem:
                     interpret=interpret,
                     stream_diags=stream,
                     stream_loop=stream,
+                    hbm_io=hbm_io,
                 )
                 # materialize the cached solve closures NOW (outside any
                 # trace): built lazily inside a jitted step, their jnp
