@@ -41,17 +41,28 @@ def main():
 
     out_path = "benchmarks/ab_1m_r5.jsonl"
     t0 = time.perf_counter()
-    mesh = tpufem.generate_annulus_mesh(n_side=n_side, n_circle=n_circle)
+    # pad_hole: ring-in-grid numbering — REQUIRED for the grid kernels
+    # (without it cg_storage="auto" falls back to the banded XLA form,
+    # which OOMs at 1M)
+    mesh = tpufem.generate_annulus_mesh(
+        n_side=n_side, n_circle=n_circle, pad_hole=True
+    )
     build_mesh_s = time.perf_counter() - t0
 
     probs = {}
     rows = []
-    for form, hbm in (("streamed", "off"), ("hbm_io", "on")):
+    # form A — "streamed": the r3-ceiling/xl_r4 kernel form (value-carried
+    # streamed CG, SEQUENTIAL columns: with batch_cols=on this form
+    # compile-OOMs at ns≥896, which is why hbm_io became the XL default).
+    # form B — "hbm_io": the round-5 ref-carried XL form.
+    for form, hbm, bcols in (("streamed", "off", "off"),
+                             ("hbm_io", "on", "on")):
         import dataclasses
 
         cfg = dataclasses.replace(
             bench_config("twolevel", n_nodes=int(mesh.n_nodes)),
             cg_hbm_io=hbm,
+            cg_batch_cols=bcols,
         )
         t0 = time.perf_counter()
         probs[form] = stokes.StokesProblem.build(mesh, cfg)

@@ -460,6 +460,10 @@ class NSConfig:
     nu: float = 1.0
     rho: float = 1.0
     body_force: tuple[float, float] = (0.1, 0.0)  # channel driving force
+    # (a constant 2-vector, or an (N, 2) nodal field for spatially
+    # varying forcing — e.g. the rotational force of the TH cross-check,
+    # benchmarks/ns_th_xcheck_r5.py; a CONSTANT force in this closed box
+    # is exactly pressure-balanced, p = f·x, so the true velocity is 0)
     inner_marker: int = 2
     L: float = 1.0
     H: float = 1.0
@@ -871,8 +875,9 @@ def _ns_step_matfree(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
     f = jnp.asarray(cfg.body_force, dtype=dtype)
     cols = []
     for c in range(2):
+        fc = f[:, c] if f.ndim == 2 else f[c]
         xc, _ = bicgstab_fixed(
-            a_mv, u[:, c] + dt * f[c], x0=u[:, c],
+            a_mv, u[:, c] + dt * fc, x0=u[:, c],
             iters=cfg.cg_iters_visc, precond=precond,
         )
         cols.append(xc)

@@ -56,6 +56,13 @@ class SparseTHConfig:
     nu: float = 1.0
     B1: float = -2.0
     B2: float = 0.0
+    body_force: tuple[float, float] = (0.0, 0.0)  # constant volume force
+    # (consistent-mass load M₂·f per component) — lets the transient TH
+    # stepper reproduce the NS channel configuration (all-wall no-slip,
+    # B1=B2=0, f=(0.1,0)) as the trusted discretization for the NS
+    # cross-check (VERDICT r4 next #4; at the NS rows' dt=1e-4 impulsive
+    # horizons |u|~3e-5, so the advection term ~u²/h ~ 1e-7·f is
+    # negligible and transient TH Stokes is the right oracle)
     center: tuple[float, float] = (0.5, 0.5)
     outer_marker: int = 1
     inner_marker: int = 2
@@ -257,6 +264,11 @@ def th_sparse_step(problem: SparseTHProblem, u: jnp.ndarray, p0: jnp.ndarray):
     rhs_full = _mv(problem.M2, u) / cfg.dt - (
         (1.0 - cfg.theta) * cfg.nu
     ) * _mv(problem.K2, u)
+    if np.any(np.asarray(cfg.body_force)):
+        f = jnp.broadcast_to(
+            jnp.asarray(cfg.body_force, dtype=u.dtype), u.shape
+        )
+        rhs_full = rhs_full + _mv(problem.M2, f)
     lift = problem.vel_op_unmasked(problem.u_bc)
     r_v = m * (rhs_full - lift)
     g = -problem.b_apply(problem.u_bc)
@@ -658,6 +670,11 @@ def th_grid_step(gp: GridTHProblem, u: jnp.ndarray, p0: jnp.ndarray):
     rhs_full = _mv(gp.M2g, u) / cfg.dt - (
         (1.0 - cfg.theta) * cfg.nu
     ) * _mv(gp.K2g, u)
+    if np.any(np.asarray(cfg.body_force)):
+        f = jnp.broadcast_to(
+            jnp.asarray(cfg.body_force, dtype=u.dtype), u.shape
+        )
+        rhs_full = rhs_full + _mv(gp.M2g, f)
     lift = _mv(gp.M2g, gp.u_bc_g) / cfg.dt + (cfg.theta * cfg.nu) * _mv(
         gp.K2g, gp.u_bc_g
     )
