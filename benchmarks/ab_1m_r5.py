@@ -51,18 +51,21 @@ def main():
 
     probs = {}
     rows = []
-    # form A — "streamed": the r3-ceiling/xl_r4 kernel form (value-carried
-    # streamed CG, SEQUENTIAL columns: with batch_cols=on this form
-    # compile-OOMs at ns≥896, which is why hbm_io became the XL default).
+    # form A — "streamed": the r3-ceiling/xl_r4 kernel form, which
+    # predates BOTH round-4 knobs (value-carried streamed CG, SEQUENTIAL
+    # columns, NO roll cache — with batch_cols=on OR roll_cache=on the
+    # value-carried form's Mosaic spill slots + cache planes exceed VMEM
+    # at ns=1024, which is why hbm_io became the XL default).
     # form B — "hbm_io": the round-5 ref-carried XL form.
-    for form, hbm, bcols in (("streamed", "off", "off"),
-                             ("hbm_io", "on", "on")):
+    for form, knobs in (
+        ("streamed", {"cg_hbm_io": "off", "cg_batch_cols": "off",
+                      "cg_roll_cache": "off"}),
+        ("hbm_io", {"cg_hbm_io": "on"}),
+    ):
         import dataclasses
 
         cfg = dataclasses.replace(
-            bench_config("twolevel", n_nodes=int(mesh.n_nodes)),
-            cg_hbm_io=hbm,
-            cg_batch_cols=bcols,
+            bench_config("twolevel", n_nodes=int(mesh.n_nodes)), **knobs
         )
         t0 = time.perf_counter()
         probs[form] = stokes.StokesProblem.build(mesh, cfg)

@@ -790,3 +790,53 @@ def test_args_payload_scan_matches_closure(monkeypatch):
         np.asarray(s_closure["u"]), np.asarray(s_args["u"]),
         rtol=1e-11, atol=1e-14,
     )
+
+
+def test_stream_chunk_matches_single_plane():
+    """cg_stream_chunk=2 (two diag planes per async copy — the round-5
+    DMA-issue-count lever) is bit-exact vs the one-plane pipeline: same
+    planes, same FMA order, half the copies.  Covered on the pressure
+    kernel and both viscous forms that take the chunked path (the
+    sequential streamed form and the hbm XL core)."""
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    for extra in (dict(cg_batch_cols="off"), dict(cg_hbm_io="on",
+                                                  cg_batch_cols="off")):
+        base = dict(solver="cg", cg_precond="twolevel",
+                    cg_iters_visc=25, cg_iters_pressure=40,
+                    cg_warm_start=True, cg_storage="grid_interpret",
+                    cg_stream_diags="on", cg_stream_loop="on", **extra)
+        pa = stokes.StokesProblem.build(
+            mesh, stokes.StokesConfig(cg_stream_chunk=2, **base)
+        )
+        pb = stokes.StokesProblem.build(
+            mesh, stokes.StokesConfig(cg_stream_chunk=1, **base)
+        )
+        assert pa.pressure_solver.stream_chunk == 2
+        assert pa.visc_solver.stream_chunk == 2
+        s_a, _ = stokes.run(pa, steps=3)
+        s_b, _ = stokes.run(pb, steps=3)
+        np.testing.assert_array_equal(np.asarray(s_a["u"]),
+                                      np.asarray(s_b["u"]))
+
+
+def test_stream_probes_run_and_are_wrong():
+    """The nodma/nofma measurement probes (roofline.py) execute and — by
+    design — do NOT reproduce the real solve (they skip the DMAs or the
+    FMAs).  This guards the probe plumbing without ever letting a probe
+    masquerade as a correct solver."""
+    import dataclasses as dc
+
+    mesh = tpufem.generate_annulus_mesh(n_side=40, n_circle=48, pad_hole=True)
+    base = dict(solver="cg", cg_precond="twolevel",
+                cg_iters_visc=10, cg_iters_pressure=15,
+                cg_warm_start=False, cg_storage="grid_interpret",
+                cg_stream_diags="on", cg_stream_loop="on")
+    prob = stokes.StokesProblem.build(mesh, stokes.StokesConfig(**base))
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    x_real = np.asarray(prob.pressure_solver.solve(b))
+    for probe in ("nofma",):
+        ps = dc.replace(prob.pressure_solver, probe=probe)
+        x_probe = np.asarray(ps.solve(b))
+        assert np.isfinite(x_probe).all()
+        assert not np.allclose(x_probe, x_real, atol=1e-12), probe

@@ -331,6 +331,82 @@ def ab(n_side: int, n_circle: int, knobs, iters_p: int = 120,
     return rows
 
 
+def probes(n_side: int, n_circle: int, iters_p: int = 120, reps: int = 8,
+           chain: int = 8, label: str | None = None, chunk: int = 1):
+    """nodma/nofma decomposition of the streamed pressure kernel
+    (VERDICT r4 next #3): one problem, three kernel variants timed
+    round-robin in one process —
+
+    * ``real``  — the production kernel,
+    * ``nofma`` — DMA pipeline only (no roll/FMA): the stream floor,
+    * ``nodma`` — roll+FMA loop only (stale scratch): the compute floor.
+
+    real ≈ nofma ⇒ the kernel is DMA-pipeline-bound (the chunk lever);
+    real ≈ nodma ⇒ it is compute/serialization-bound (deeper buffering).
+    ``chunk`` sets cg_stream_chunk so the same decomposition can be
+    measured on the chunked pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from tpufem import bench_large
+    import tpufem
+    from tpufem.workloads import stokes
+
+    bench_large.enable_compile_cache()
+    mesh = tpufem.generate_annulus_mesh(
+        n_side=n_side, n_circle=n_circle, pad_hole=True
+    )
+    config = dataclasses.replace(
+        bench_large.bench_config(
+            "twolevel", n_nodes=int(mesh.n_nodes), transport="none",
+        ),
+        cg_stream_chunk=chunk,
+    )
+    problem = stokes.StokesProblem.build(mesh, config)
+    base = dataclasses.replace(problem.pressure_solver, tol=0.0,
+                               iters=iters_p)
+    ns = base.K.ns
+    itemsize = np.dtype(np.asarray(base.K.diags).dtype).itemsize
+    dtype = np.float32 if itemsize == 4 else np.float64
+    rng = np.random.default_rng(0)
+    bp = jnp.asarray(rng.standard_normal(ns * ns).astype(dtype))
+
+    entries = []
+    for probe in ("", "nofma", "nodma"):
+        ps = dataclasses.replace(base, probe=probe)
+        sp = _chain(lambda b, _ps=ps: _ps.solve(b), chain)
+        t0 = time.perf_counter()
+        _sync(sp(bp))
+        compile_s = time.perf_counter() - t0
+        entries.append(dict(probe=probe or "real", sp=sp,
+                            compile_s=compile_s, best=float("inf")))
+        print(f"# built probe={probe or 'real'} ({compile_s:.1f}s)",
+              flush=True)
+    for _ in range(reps):
+        for e in entries:
+            t0 = time.perf_counter()
+            _sync(e["sp"](bp))
+            e["best"] = min(e["best"], time.perf_counter() - t0)
+    rows = []
+    for e in entries:
+        t_p = e["best"] / chain
+        rows.append({
+            "label": label or f"{ns}x{ns}",
+            "n_nodes": int(mesh.n_nodes),
+            "ns": int(ns),
+            "probe": e["probe"],
+            "stream_chunk": chunk,
+            "chain": chain,
+            "reps": reps,
+            "iters_p": iters_p,
+            "t_pressure_s": round(t_p, 5),
+            "us_per_p_iter": round(t_p / iters_p * 1e6, 1),
+            "compile_s": round(e["compile_s"], 1),
+        })
+    return rows
+
+
 def main(argv=None):
     import argparse
 

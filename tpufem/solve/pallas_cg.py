@@ -73,16 +73,22 @@ _LOOP_OFFSETS_FROM = 12  # ≥: apply offsets in a fori_loop with DYNAMIC
 # the loop form trades a little ILP for an O(1)-size program
 
 
-def _pad_even(n: int) -> int:
-    """Streamed-loop plane count: n_off rounded up to even (the loop body
-    consumes planes in pairs with static scratch slots) plus 2 zero pad
-    planes (so the software pipeline's run-ahead DMA start of plane g+2
-    is always in bounds)."""
-    return n + (n % 2) + 2
+def _pad_even(n: int, chunk: int = 1) -> int:
+    """Streamed-loop plane count: n_off rounded up to a multiple of
+    2·chunk (the loop body consumes chunk-sized plane groups in pairs
+    with static scratch slots) plus 2·chunk zero pad planes (so the
+    software pipeline's run-ahead DMA start of group g+2 is always in
+    bounds).  chunk=1 is the classic one-plane-per-DMA pipeline;
+    chunk=2 halves the DMA issue count (round-5 pressure-floor lever:
+    the measured stream time is ~2× the pure-bandwidth ideal, i.e.
+    issue/latency-bound, not byte-bound)."""
+    c2 = 2 * chunk
+    return -(-n // c2) * c2 + c2
 
 
 def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
-                stream_loop: bool = False, roll_cache: bool = False):
+                stream_loop: bool = False, roll_cache: bool = False,
+                chunk: int = 1, probe: str = ""):
     """K·x on the (ns, ns) grid from kernel REFS (diags + remainder).
 
     ``roll_cache=True`` (dynamic-roll forms only — ``stream_loop`` and
@@ -192,20 +198,40 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
 
         if stream and stream_loop:
             # Dynamic-plane double-buffer: ``d`` is ONE stacked
-            # (_pad_even(n_off), ns, ns) HBM ref, the pipeline a fori_loop
-            # over plane pairs.  Scratch slots stay STATIC (slot 0 ↔ even
-            # planes, slot 1 ↔ odd) so no dynamic VMEM reads; plane index
-            # and roll shifts are dynamic (SMEM table ``sh``, padded with
-            # zero shifts for the pad planes, whose values are zero).
+            # (_pad_even(n_off, chunk), ns, ns) HBM ref, the pipeline a
+            # fori_loop over CHUNK-GROUP pairs (chunk=1: plane pairs).
+            # Scratch slots stay STATIC (slot 0 ↔ even groups, slot 1 ↔
+            # odd) so no dynamic VMEM reads; plane index and roll shifts
+            # are dynamic (SMEM table ``sh``, padded with zero shifts for
+            # the pad planes, whose values are zero).  chunk>1 moves
+            # ``chunk`` planes per async copy — same bytes, 1/chunk the
+            # DMA issue count (round-5 lever: the measured stream floor
+            # is ~2× the pure-bandwidth ideal, i.e. issue-bound).
+            # ``probe`` (measurement only, roofline.py): "nodma" skips
+            # every DMA (compute on stale scratch — times the roll+FMA
+            # loop alone), "nofma" skips every FMA (times the DMA
+            # pipeline alone).
             assert scratch is not None and sem is not None and sh is not None
             from jax.experimental.pallas import tpu as pltpu
 
-            E = _pad_even(len(offsets)) - 2  # even count of real+pad rows
+            CH = chunk
+            E = _pad_even(len(offsets), CH) - 2 * CH  # real+pad planes
+            fma_on = probe != "nofma"
+            dma_on = probe != "nodma"
 
-            def dma(g, slot: int):
-                return pltpu.make_async_copy(
-                    d.at[g], scratch[slot], sem.at[jnp.int32(slot)]
-                )
+            if CH == 1:
+                def dma(g, slot: int):
+                    return pltpu.make_async_copy(
+                        d.at[g], scratch[slot], sem.at[jnp.int32(slot)]
+                    )
+            else:
+                def dma(c, slot: int):
+                    from jax.experimental import pallas as pl
+
+                    return pltpu.make_async_copy(
+                        d.at[pl.ds(c * CH, CH)], scratch[slot],
+                        sem.at[jnp.int32(slot)],
+                    )
 
             def roll_g(g):
                 if use_cache:
@@ -218,20 +244,46 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                     Xv.ndim - 1,
                 )
 
-            dma(jnp.int32(0), 0).start()
-            dma(jnp.int32(1), 1).start()
+            def add_slot(Y, slot: int, c):
+                """Y + Σ_k scratch[slot][k]·roll(X, shift[c·CH+k]), added
+                term by term in plane order — the SAME accumulation
+                association as the chunk=1 pipeline, so chunking is
+                bit-exact."""
+                if CH == 1:
+                    return Y + up(scratch[slot][:]) * roll_g(c)
+                for k in range(CH):
+                    Y = Y + up(scratch[slot][k]) * roll_g(c * CH + k)
+                return Y
+
+            def acc_slot(slot: int, c):
+                if CH == 1:
+                    acc[:] = acc[:] + up(scratch[slot][:]) * roll_g(c)
+                    return
+                for k in range(CH):
+                    acc[:] = acc[:] + up(scratch[slot][k]) * roll_g(c * CH + k)
+
+            if dma_on:
+                dma(jnp.int32(0), 0).start()
+                dma(jnp.int32(1), 1).start()
             if use_cache:
                 fill_cache()  # overlaps the two run-ahead DMAs
 
+            n_groups_loop = E // CH  # chunk groups (multiple of 2)
+
             if acc is None:
                 def body(i, Y):
-                    g0 = 2 * i
-                    dma(g0, 0).wait()
-                    Y = Y + up(scratch[0][:]) * roll_g(g0)
-                    dma(g0 + 2, 0).start()
-                    dma(g0 + 1, 1).wait()
-                    Y = Y + up(scratch[1][:]) * roll_g(g0 + 1)
-                    dma(g0 + 3, 1).start()
+                    c0 = 2 * i
+                    if dma_on:
+                        dma(c0, 0).wait()
+                    if fma_on:
+                        Y = add_slot(Y, 0, c0)
+                    if dma_on:
+                        dma(c0 + 2, 0).start()
+                        dma(c0 + 1, 1).wait()
+                    if fma_on:
+                        Y = add_slot(Y, 1, c0 + 1)
+                    if dma_on:
+                        dma(c0 + 3, 1).start()
                     return Y
 
                 # i32 bounds: under jax_enable_x64 Python-int bounds make
@@ -239,25 +291,33 @@ def _make_apply(offsets, ns: int, interpret: bool, stream: bool = False,
                 # — the body's `2 * i` then emits muli(i64, i32) and
                 # verification fails (TPU-only; interpret never sees it)
                 Y = jax.lax.fori_loop(
-                    jnp.int32(0), jnp.int32(E // 2), body, jnp.zeros_like(rd())
+                    jnp.int32(0), jnp.int32(n_groups_loop // 2), body,
+                    jnp.zeros_like(rd())
                 )
             else:
                 def body_acc(i, c):
-                    g0 = 2 * i
-                    dma(g0, 0).wait()
-                    acc[:] = acc[:] + up(scratch[0][:]) * roll_g(g0)
-                    dma(g0 + 2, 0).start()
-                    dma(g0 + 1, 1).wait()
-                    acc[:] = acc[:] + up(scratch[1][:]) * roll_g(g0 + 1)
-                    dma(g0 + 3, 1).start()
+                    c0 = 2 * i
+                    if dma_on:
+                        dma(c0, 0).wait()
+                    if fma_on:
+                        acc_slot(0, c0)
+                    if dma_on:
+                        dma(c0 + 2, 0).start()
+                        dma(c0 + 1, 1).wait()
+                    if fma_on:
+                        acc_slot(1, c0 + 1)
+                    if dma_on:
+                        dma(c0 + 3, 1).start()
                     return c
 
                 jax.lax.fori_loop(
-                    jnp.int32(0), jnp.int32(E // 2), body_acc, jnp.int32(0)
+                    jnp.int32(0), jnp.int32(n_groups_loop // 2), body_acc,
+                    jnp.int32(0)
                 )
-            # drain the two run-ahead DMAs (planes E, E+1 — zero pads)
-            dma(jnp.int32(E), 0).wait()
-            dma(jnp.int32(E + 1), 1).wait()
+            # drain the two run-ahead DMAs (groups E/CH, E/CH+1 — zero pads)
+            if dma_on:
+                dma(jnp.int32(n_groups_loop), 0).wait()
+                dma(jnp.int32(n_groups_loop + 1), 1).wait()
         elif stream:
             # Static-unrolled double-buffered plane streaming: DMA plane
             # g+1 HBM→VMEM while multiplying plane g.  ``d`` is a TUPLE
@@ -524,10 +584,11 @@ def _shift_table(offsets, ns: int, pad_to: int = 0,
     return jnp.asarray(_shift_rows(offsets, ns, pad_to, groups))
 
 
-def _stacked_padded_diags(diags: jnp.ndarray) -> jnp.ndarray:
-    """(_pad_even(n_off), ns, ns) stack for the stream_loop DMA pipeline."""
+def _stacked_padded_diags(diags: jnp.ndarray, chunk: int = 1) -> jnp.ndarray:
+    """(_pad_even(n_off, chunk), ns, ns) stack for the stream_loop DMA
+    pipeline."""
     n_off = diags.shape[0]
-    pad = _pad_even(n_off) - n_off
+    pad = _pad_even(n_off, chunk) - n_off
     return jnp.concatenate(
         [diags, jnp.zeros((pad,) + diags.shape[1:], diags.dtype)]
     )
@@ -752,6 +813,9 @@ class ViscousGridCG:
     # is what carries the whole-solve kernels past the 1.05M-node
     # ceiling.  Requires stream_diags (the diag planes cannot be
     # VMEM-resident at these sizes anyway).
+    stream_chunk: int = 1  # stream_loop pipeline: planes per async copy
+    # (see PressureGridCG.stream_chunk).  Active on the hbm XL core and
+    # the sequential-column streamed form; the batched twin keeps 1.
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         m = self.interior_mask
@@ -773,8 +837,13 @@ class ViscousGridCG:
         # roll cache off in XL mode: its n_groups extra VMEM planes are
         # exactly what hbm_io exists to avoid at ns ≥ 1280
         rc = self.roll_cache and not hbm
+        # chunked DMA applies only where apply_K owns the scratch alone:
+        # the hbm XL core and the sequential-column streamed form (the
+        # batched twin shares the same scratch pair at (ns, ns) shape)
+        CH = self.stream_chunk if (sloop and (hbm or not self.batch_cols)) \
+            else 1
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
-                              stream_loop=sloop, roll_cache=rc)
+                              stream_loop=sloop, roll_cache=rc, chunk=CH)
         apply_cols = _make_apply_cols(K.offsets, ns, interpret,
                                       stream=stream, stream_loop=sloop,
                                       roll_cache=rc)
@@ -930,13 +999,16 @@ class ViscousGridCG:
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
         grps = ngrp > 0
         if sloop:
-            shifts = _shift_table(K.offsets, ns, pad_to=_pad_even(n_off) - 2,
-                                  groups=grps)
+            shifts = _shift_table(
+                K.offsets, ns, pad_to=_pad_even(n_off, CH) - 2 * CH,
+                groups=grps,
+            )
             diag_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
-            diag_args = [_stacked_padded_diags(diags_eff)]
+            diag_args = [_stacked_padded_diags(diags_eff, CH)]
+            buf = (ns, ns) if CH == 1 else (CH, ns, ns)
             scratch_shapes = [
-                pltpu.VMEM((ns, ns), K.diags.dtype),
-                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM(buf, K.diags.dtype),
+                pltpu.VMEM(buf, K.diags.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         elif stream:
@@ -1065,6 +1137,13 @@ class PressureGridCG:
     # (see ViscousGridCG.hbm_io).  Requires stream_diags; implies lean.
     roll_cache: bool = True  # dynamic-roll forms: sublane-roll cache
     # (see ViscousGridCG.roll_cache / _make_apply); off in hbm_io mode
+    stream_chunk: int = 1  # stream_loop pipeline: planes per async copy
+    # (2 halves the DMA issue count — round-5 pressure-floor lever; the
+    # chunked pipeline is bit-identical, interpret-tested).  Ignored off
+    # the stream_loop form and with precond_bf16 (separate bf16 stream).
+    probe: str = ""  # measurement only (roofline.py): "nodma" skips the
+    # plane DMAs (times the roll+FMA loop), "nofma" skips the FMAs
+    # (times the DMA pipeline alone) — results are WRONG by design
     precond_bf16: bool = False  # streamed two-level only: keep a SECOND
     # bf16 copy of the diag planes in HBM and stream IT for the
     # preconditioner's two K-applies (the CG advance keeps f32) — 2 of
@@ -1100,6 +1179,7 @@ class PressureGridCG:
         hbm_io: bool = False,
         precond_bf16: bool = False,
         roll_cache: bool = True,
+        stream_chunk: int = 1,
     ) -> "PressureGridCG":
         from tpufem.solve.cg import estimate_lmax
         from tpufem.solve.twolevel import coarse_inverse, galerkin_coarse
@@ -1185,6 +1265,7 @@ class PressureGridCG:
             hbm_io=hbm_io,
             precond_bf16=precond_bf16 and stream_diags and use_coarse,
             roll_cache=roll_cache,
+            stream_chunk=stream_chunk,
         )
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -1204,8 +1285,10 @@ class PressureGridCG:
         assert not hbm or stream, "hbm_io requires stream_diags"
         pb16 = self.precond_bf16 and stream and use_coarse
         rc = self.roll_cache and not hbm
+        CH = self.stream_chunk if (sloop and not pb16) else 1
         apply_K = _make_apply(K.offsets, ns, interpret, stream=stream,
-                              stream_loop=sloop, roll_cache=rc)
+                              stream_loop=sloop, roll_cache=rc,
+                              chunk=CH, probe=self.probe)
         ngrp = apply_K.n_groups
         n_rest = K.n_rest
         ncr, ncl = self.Pr.shape[0], self.Pl.shape[0]
@@ -1373,13 +1456,16 @@ class PressureGridCG:
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
         grps = ngrp > 0
         if sloop:
-            shifts = _shift_table(K.offsets, ns, pad_to=_pad_even(n_off) - 2,
-                                  groups=grps)
+            shifts = _shift_table(
+                K.offsets, ns, pad_to=_pad_even(n_off, CH) - 2 * CH,
+                groups=grps,
+            )
             diag_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
-            diag_args = [_stacked_padded_diags(K.diags)]
+            diag_args = [_stacked_padded_diags(K.diags, CH)]
+            buf = (ns, ns) if CH == 1 else (CH, ns, ns)
             scratch_shapes = [
-                pltpu.VMEM((ns, ns), K.diags.dtype),
-                pltpu.VMEM((ns, ns), K.diags.dtype),
+                pltpu.VMEM(buf, K.diags.dtype),
+                pltpu.VMEM(buf, K.diags.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         elif stream:

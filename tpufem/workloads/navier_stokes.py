@@ -963,11 +963,22 @@ def run(problem: NSProblem, steps: int | None = None,
         if hit is not None and hit[0] is problem:
             step = hit[1]
         elif cfg.solver == "cg":
-            if chunk > 1:
-                @jax.jit
-                def step(u, p):
+            # operator arrays as jit ARGUMENTS above the payload limit:
+            # closure-literal HLO of the grid operators (92 MB of K
+            # planes alone at ns=1024) exceeds the axon remote compiler's
+            # request-body cap (HTTP 413 — same policy as stokes.run's
+            # _scan_plain_args)
+            from tpufem.workloads import stokes as _stokes
+
+            op_arrays = _stokes._extract_arrays(problem)
+            payload = sum(int(a.size) * a.dtype.itemsize
+                          for a in op_arrays.values())
+            plain_args = payload > _stokes._ARGS_PAYLOAD_BYTES
+
+            def chunk_body(prob, u, p):
+                if chunk > 1:
                     def body(carry, _):
-                        un, pn, mets = step_fn(problem, *carry)
+                        un, pn, mets = step_fn(prob, *carry)
                         return (un, pn), mets
 
                     (u, p), mets = jax.lax.scan(
@@ -976,8 +987,18 @@ def run(problem: NSProblem, steps: int | None = None,
                     return u, p, jax.tree_util.tree_map(
                         lambda x: x[-1], mets
                     )
+                un, pn, mets = step_fn(prob, u, p)
+                return un, pn, mets
+
+            if plain_args:
+                @jax.jit
+                def step_args(u, p, ops):
+                    prob = _stokes._inject_arrays(problem, ops)
+                    return chunk_body(prob, u, p)
+
+                step = lambda u, p: step_args(u, p, op_arrays)
             else:
-                step = jax.jit(lambda u, p: step_fn(problem, u, p))
+                step = jax.jit(lambda u, p: chunk_body(problem, u, p))
             _RUN_CACHE[key] = (problem, step)
         else:
             step = jax.jit(

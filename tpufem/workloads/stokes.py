@@ -143,6 +143,11 @@ class StokesConfig:
     # lane-only rotates hide under the DMA stream).  See
     # solve/pallas_cg._make_apply; auto-ignored by static-roll forms
     # and by hbm_io (VMEM budget)
+    cg_stream_chunk: int = 1  # stream_loop kernels: diag planes per
+    # async copy (2 halves the DMA issue count — round-5 pressure-floor
+    # lever; bit-identical pipeline, interpret-tested).  Applies to the
+    # pressure kernel and the sequential/hbm viscous forms; the batched
+    # viscous twin keeps 1
     cg_precond_bf16: str = "off"  # | "on": streamed grid kernels only —
     # keep a second bf16 copy of the pressure diag planes and stream IT
     # for the preconditioner's two K-applies (2 of 3 plane streams per
@@ -680,6 +685,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     stream_diags=stream,
                     stream_loop=sloop,
                     hbm_io=hbm_io,
+                    stream_chunk=config.cg_stream_chunk,
                 )
                 owner = pressure_owner_map(
                     mesh.n_nodes, boundary.masters, boundary.slaves
@@ -711,6 +717,7 @@ def _build_matfree_problem_fields(mesh, config, boundary, m_lumped, dtype):
                     hbm_io=hbm_io,
                     precond_bf16=config.cg_precond_bf16 == "on",
                     roll_cache=config.cg_roll_cache == "on",
+                    stream_chunk=config.cg_stream_chunk,
                 )
                 dx_csr, dy_csr = calculus.divergence_csr_operators(mesh)
                 return visc, pressure, materialize(dx_csr), materialize(dy_csr), {}
