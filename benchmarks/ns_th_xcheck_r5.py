@@ -36,7 +36,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_pair(n_side, steps, dt, nu, force_fn, label):
+def run_pair(n_side, steps, dt, nu, force_fn, label, mass_consistent=False):
     import jax.numpy as jnp
 
     import tpufem
@@ -54,7 +54,7 @@ def run_pair(n_side, steps, dt, nu, force_fn, label):
         ns.NSConfig(
             dt=dt, nu=nu, body_force=f_p1, solver="cg", precision="f64",
             cg_iters_visc=40, cg_iters_pressure=200, cg_tol=1e-10,
-            cg_precond="twolevel",
+            cg_precond="twolevel", mass_consistent=mass_consistent,
         ),
     )
     u_ns, mets = ns.run(ns_prob, steps=steps, host_loop=True)
@@ -92,6 +92,7 @@ def run_pair(n_side, steps, dt, nu, force_fn, label):
 
     return {
         "label": label,
+        "mass_consistent": mass_consistent,
         "n_side": n_side,
         "n_nodes": int(mesh.n_nodes),
         "th_dofs": int(2 * th_prob.n2 + th_prob.n1),
@@ -132,6 +133,12 @@ def main():
     )
     for n_side in rungs:
         rows.append(run_pair(n_side, steps, dt, nu, rot, "rotational"))
+        print(json.dumps(rows[-1]), flush=True)
+        # the mass-consistent form (NSConfig.mass_consistent=True): the
+        # corrected weak scaling must CONVERGE to the TH transient where
+        # the reference-parity form diverges from it
+        rows.append(run_pair(n_side, steps, dt, nu, rot,
+                             "rotational+consistent", mass_consistent=True))
         print(json.dumps(rows[-1]), flush=True)
     const = lambda xy: np.broadcast_to(
         np.array([0.1, 0.0]), (xy.shape[0], 2)

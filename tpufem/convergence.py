@@ -258,6 +258,9 @@ NS_SIZES = [
     ("6.5k", 80, 96),
     ("26k", 160, 192),
     ("79k", 280, 320),
+    # 160k reference rung (VERDICT r4 next #4): a finer oracle for the
+    # lower rungs' err_vs_finest — at dt ∝ h this is ~1560 steps
+    ("160k", 400, 448),
 ]
 NS_DT0 = 4e-4  # at n_side = 40 (reference dt=1e-4 is for its ~1k meshes;
 # the ∝h law lands exactly there near their h)

@@ -464,6 +464,27 @@ class NSConfig:
     # varying forcing — e.g. the rotational force of the TH cross-check,
     # benchmarks/ns_th_xcheck_r5.py; a CONSTANT force in this closed box
     # is exactly pressure-balanced, p = f·x, so the true velocity is 0)
+    mass_consistent: bool = False  # scale the velocity system by the
+    # lumped inverse mass: (I + Δt·M_L⁻¹C(u) + νΔt·M_L⁻¹K) u* = uⁿ + Δt·f
+    # — the DIMENSIONALLY CONSISTENT weak form.  The reference's NS
+    # solves (I + Δt·C + νΔt·K) u* = uⁿ + Δt·F with the RAW assembled
+    # operators against nodal values (operator_spitting_ns.py:562), i.e.
+    # it is missing the M⁻¹: since 2-D stiffness entries are O(1) while
+    # M_L ~ h², its effective viscosity/advection scale like h² and
+    # VANISH under refinement — the NS-vs-Taylor–Hood cross-check
+    # (benchmarks/ns_th_xcheck_r5.py) measures the velocity deviation
+    # GROWING 0.55→0.73 with h at ν=1 on a smooth forced vortex.
+    # Default False = reference parity; True converges to the trusted
+    # TH transient (cross-checked).  Matrix-free path only (the grid
+    # kernels fall back to the stencil form under this option).
+    double_projection: bool = False  # second pressure projection per
+    # step.  The reference's NS does ONE projection per step
+    # (operator_spitting_ns.py:591-598) while its flagship Stokes does
+    # TWO (code/StokesColor.py:566-573) — the single-projection NS
+    # leaves ~7× the normalized divergence (measured div_rel 0.15 vs
+    # 0.02 at comparable sizes).  Default False = reference parity;
+    # True adds the Stokes-style second projection (one more pressure
+    # solve + div/grad per step)
     inner_marker: int = 2
     L: float = 1.0
     H: float = 1.0
@@ -533,6 +554,7 @@ class NSProblem:
     # matrix-free (solver="cg") path
     K_csr: Any = None  # signed-det stiffness (stencil where supported)
     inv_diag_visc: jnp.ndarray | None = None  # Jacobi for the u* BiCGStab
+    inv_ml: jnp.ndarray | None = None  # 1/M_L (mass_consistent=True)
     conv_refill: Any = None  # per-step C(u) stencil refill (None → the
     # gather/segment-sum convection_apply every BiCGStab iteration)
     # whole-solve-kernel (cg_storage="grid") path
@@ -679,9 +701,20 @@ class NSProblem:
             tol=config.cg_tol,
             pin=0,
         )
-        inv_diag_visc = 1.0 / (
-            1.0 + config.nu * config.dt * jnp.abs(K_signed.diag())
-        )
+        inv_ml = None
+        if config.mass_consistent:
+            ml_full = np.asarray(assembly.lumped_mass(mesh))
+            inv_ml = jnp.asarray(
+                np.where(ml_full > 0, 1.0 / np.where(ml_full > 0, ml_full, 1.0), 1.0),
+                dtype=dtype,
+            )
+            inv_diag_visc = 1.0 / (
+                1.0 + config.nu * config.dt * inv_ml * jnp.abs(K_signed.diag())
+            )
+        else:
+            inv_diag_visc = 1.0 / (
+                1.0 + config.nu * config.dt * jnp.abs(K_signed.diag())
+            )
 
         # whole-solve-kernel form (cg_storage="grid"): per-step C(u) diag
         # planes (GridRefill — one segment-sum), in-kernel BiCGStab
@@ -699,6 +732,9 @@ class NSProblem:
             and config.precision == "f32"  # Mosaic has no f64
             and jax.default_backend() == "tpu"
         )
+        # mass_consistent runs the stencil/CSR matfree step (the grid
+        # kernels' refilled planes are not yet M_L⁻¹-scaled)
+        want_grid = want_grid and not config.mass_consistent
         if want_grid and ns_grid * ns_grid == mesh.n_nodes:
             from tpufem.ops.gridop import GridDecompositionError, GridRefill
             from tpufem.solve.pallas_cg import NSGridBiCGStab, PressureGridCG
@@ -785,6 +821,7 @@ class NSProblem:
             conv_refill=conv_refill,
             pressure_solver=pressure_solver,
             inv_diag_visc=jnp.asarray(inv_diag_visc, dtype=dtype),
+            inv_ml=inv_ml,
             grid_refill=grid_refill,
             Kg_diags=kg_diags,
             Kg_rest=kg_rest,
@@ -829,6 +866,10 @@ def _ns_step_grid(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
     b_p = -(cfg.rho / dt) * div
     p = problem.pressure_solver.solve(b_p, x0=p0)
     u_new = u_star - dt * calculus.gradient(mesh, p).astype(dtype)
+    if cfg.double_projection:
+        div2 = calculus.divergence(mesh, u_new).astype(dtype)
+        p2 = problem.pressure_solver.solve(-(cfg.rho / dt) * div2, x0=p)
+        u_new = u_new - dt * calculus.gradient(mesh, p2).astype(dtype)
     u_new = jnp.where(jnp.asarray(problem.wall_mask)[:, None], 0.0, u_new)
     metrics = {
         "max_u": jnp.max(jnp.abs(u_new)),
@@ -868,8 +909,16 @@ def _ns_step_matfree(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
             mesh, u, x, variant="opsplit"
         )
 
-    def a_mv(x):
-        return x + dt * conv(x) + cfg.nu * dt * problem.K_csr.matvec(x)
+    if cfg.mass_consistent:
+        iml = problem.inv_ml.astype(dtype)
+
+        def a_mv(x):
+            return x + dt * iml * conv(x) + cfg.nu * dt * (
+                iml * problem.K_csr.matvec(x)
+            )
+    else:
+        def a_mv(x):
+            return x + dt * conv(x) + cfg.nu * dt * problem.K_csr.matvec(x)
 
     precond = lambda r: problem.inv_diag_visc.astype(dtype) * r
     f = jnp.asarray(cfg.body_force, dtype=dtype)
@@ -887,6 +936,10 @@ def _ns_step_matfree(problem: NSProblem, u: jnp.ndarray, p0: jnp.ndarray):
     b_p = -(cfg.rho / dt) * div
     p = problem.pressure_solver.solve(b_p, x0=p0)
     u_new = u_star - dt * calculus.gradient(mesh, p).astype(dtype)
+    if cfg.double_projection:
+        div2 = calculus.divergence(mesh, u_new).astype(dtype)
+        p2 = problem.pressure_solver.solve(-(cfg.rho / dt) * div2, x0=p)
+        u_new = u_new - dt * calculus.gradient(mesh, p2).astype(dtype)
     u_new = jnp.where(jnp.asarray(problem.wall_mask)[:, None], 0.0, u_new)
     metrics = {
         "max_u": jnp.max(jnp.abs(u_new)),
