@@ -61,3 +61,15 @@ def gen_mesh():
 def mesh5():
     """mesh5.1 (331 nodes / 522 tris) — the report/rotating-cylinder mesh."""
     return reference_mesh("mesh5.1")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier gate (VERDICT r4 #8): mark measured-slow tests so
+    ``pytest -m "not slow"`` is a fast whole-surface smoke gate while
+    the full suite stays the merge gate.  Registry: tests/slow_list.py."""
+    from tests.slow_list import SLOW_TESTS
+
+    for item in items:
+        base = f"{item.fspath.basename}::{item.name.split('[')[0]}"
+        if base in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
