@@ -83,6 +83,7 @@ class GridOperator:
         max_offsets: int = 24,
         min_fill: float = 0.02,
         rest_target: int | None = None,
+        rest_budget_bytes: int = 16 << 20,
     ) -> "GridOperator":
         """Decompose a CSROperator on an ns×ns grid numbering (host-side).
 
@@ -119,7 +120,16 @@ class GridOperator:
         # budgets: the remainder one-hots cost 5·Mp·ns·4 B of VMEM and the
         # dense diags n_off·N·4 B — both must leave room for the ~15 live
         # CG vectors inside the whole-solve kernels (100 MB VMEM limit)
-        rest_cap = min(max(4096, n // 8), max(512, int(16 * 2**20 / (20 * ns))))
+        # ``rest_budget_bytes``: VMEM byte budget for the (Mp, ns) one-hot
+        # remainder factors (5 arrays).  Streamed-diag callers can raise
+        # it — their diag planes live in HBM, freeing the space (round 5:
+        # the TH grid engine at n_side=192 rasters with ~4.8k remainder
+        # couplings, over the default budget at ns=384 but comfortably
+        # within VMEM once the 64 diag planes stream)
+        rest_cap = min(
+            max(4096, n // 8),
+            max(512, int(rest_budget_bytes / (20 * ns))),
+        )
         if rest_target is not None:
             # streamed-diag callers: diag planes are HBM-resident, so trade
             # them freely against VMEM-resident one-hot remainder rows

@@ -527,17 +527,31 @@ class GridTHProblem:
             root = int(np.ceil(np.sqrt(n)))
             bottom = int((coords[:, 1] < 1e-9).sum())
             cands = [bottom] if bottom * bottom >= n else []
-            cands += [root, int(1.1 * root), int(1.2 * root), int(1.35 * root)]
+            # 128-aligned twins first (round 5): a tile-aligned ns keeps
+            # the streamed kernels on the O(1)-program fori_loop DMA
+            # pipeline, which is what makes the ≥360-raster TH sizes
+            # compile in minutes instead of the unrolled chain's tens
+            align = lambda c: -(-c // 128) * 128
+            if bottom * bottom >= n:
+                cands.insert(0, align(bottom))
+            cands += [align(root), root, int(1.1 * root), int(1.2 * root),
+                      int(1.35 * root)]
             seen: list[int] = []
             for c in cands:
-                if c not in seen:
+                if c * c >= n and c not in seen:
                     seen.append(c)
             return seen
 
         def build_gop(csr_op, coords, hint, extra_diag=0.0):
-            """(perm, ns, GridOperator) for the first raster that
-            decomposes; renumbers ``csr_op`` (optionally with the
-            identity split subtracted from its diagonal)."""
+            """(perm, ns, GridOperator, op_g, stream) for the first
+            raster that decomposes; renumbers ``csr_op`` (optionally with
+            the identity split subtracted from its diagonal).
+
+            Large rasters (ns ≥ 360) get STREAMED diag planes: the
+            planes move to HBM, which frees the VMEM the one-hot
+            remainder factors need — generated TH rasters past
+            ~n_side=160 carry ~5k hole-neighborhood couplings off the
+            64 densest offsets (over the all-VMEM remainder budget)."""
             from tpufem.ops.gridop import GridDecompositionError
 
             data = np.asarray(csr_op.data, dtype=np.float64)
@@ -554,7 +568,12 @@ class GridTHProblem:
                         csr_op.with_data(jnp.asarray(data)), perm, perm,
                         (nsq, nsq),
                     )
-                    return perm, ns_, GridOperator.build(op_g, ns_, dtype=dtype), op_g
+                    stream = ns_ >= 360 and (interpret or ns_ % 128 == 0)
+                    gop = GridOperator.build(
+                        op_g, ns_, dtype=dtype,
+                        rest_budget_bytes=(48 << 20) if stream else (16 << 20),
+                    )
+                    return perm, ns_, gop, op_g, stream
                 except (GridDecompositionError, GridifyError) as e:
                     err = e
             raise err  # type: ignore[misc]
@@ -568,7 +587,7 @@ class GridTHProblem:
                 + (cfg.theta * cfg.nu) * np.asarray(base.K2.data, dtype=np.float64)
             )
             a_op = base.K2.with_data(jnp.asarray(a_data))
-            p2, ns2_, gopA, _ = build_gop(
+            p2, ns2_, gopA, _, stream2 = build_gop(
                 a_op, np.asarray(base.mesh.coords), ns2, extra_diag=-1.0
             )
             n2sq = ns2_ * ns2_
@@ -582,9 +601,11 @@ class GridTHProblem:
                 iters=cfg.iters_inner,
                 tol=tol_inner,
                 interpret=interpret,
+                stream_diags=stream2,
+                stream_loop=stream2,
             )
 
-            p1, ns1_, gopP, kp_g = build_gop(
+            p1, ns1_, gopP, kp_g, stream1 = build_gop(
                 base.Kp, np.asarray(base.pmesh.coords), ns1
             )
             n1sq = ns1_ * ns1_
@@ -601,6 +622,8 @@ class GridTHProblem:
                 target_coarse=target_coarse,
                 use_coarse=True,
                 interpret=interpret,
+                stream_diags=stream1,
+                stream_loop=stream1,
             )
 
             def cast(op):
