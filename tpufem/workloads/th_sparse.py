@@ -485,6 +485,18 @@ class GridTHProblem:
     act1: jnp.ndarray  # (ns1²,) real-pressure-slot indicator
     corner_slots: jnp.ndarray  # (N1,) pressure dof → P2 raster slot
     tol_outer: float = 0.0
+    vel_restarts: int = 0  # extra true-residual CG restarts per velocity
+    # solve (accuracy lever, VERDICT r4 #5).  The f32 in-kernel CG's
+    # recurrence residual drifts from the true residual, so the
+    # tolerance early-exit fires ~1e-5 short of what f32 can represent
+    # (measured floor 1.7e-5 weak divergence at n_side=96 regardless of
+    # requested tol — th_tol_ab_r5.jsonl).  Each restart re-enters the
+    # kernel with x0 = the previous solution: r0 = b − A·x0 is then ONE
+    # fresh f32 SpMV (error ~1e-7·scale, not the accumulated recurrence
+    # drift), and the solve continues until the est-residual again meets
+    # tol·‖b‖ — the standard restarted-CG fix for finite-precision
+    # stagnation.  Cost: the restarted solve's iterations are few (warm
+    # start, small correction); measured A/B in th_engine_ab_r5.jsonl.
 
     @classmethod
     def build(
@@ -496,6 +508,7 @@ class GridTHProblem:
         tol_inner: float = 1e-6,
         tol_outer: float = 0.0,
         target_coarse: int = 1024,
+        vel_restarts: int = 0,
     ) -> "GridTHProblem":
         import jax
 
@@ -659,6 +672,7 @@ class GridTHProblem:
                     p2[np.asarray(base.corners)], dtype=jnp.int32
                 ),
                 tol_outer=tol_outer,
+                vel_restarts=vel_restarts,
             )
 
     # raster-layout helpers -------------------------------------------------
@@ -704,7 +718,15 @@ def th_grid_step(gp: GridTHProblem, u: jnp.ndarray, p0: jnp.ndarray):
     r_v = m * (rhs_full - lift)
     g = -gp.b_apply(gp.u_bc_g)
 
-    solveA = gp.vel_solver.solve
+    solveA0 = gp.vel_solver.solve
+    if gp.vel_restarts:
+        def solveA(b):
+            x = solveA0(b)
+            for _ in range(gp.vel_restarts):
+                x = solveA0(b, x0=x)
+            return x
+    else:
+        solveA = solveA0
     rhs_p = gp.b_apply(solveA(r_v)) - g
 
     def s_apply(q):
