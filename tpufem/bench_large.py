@@ -339,6 +339,7 @@ def run_th_sparse(
     steps: int,
     precision: str = "f64",
     engine: str = "csr",
+    vel_restarts: int = 0,
 ):
     """Timed sparse Taylor–Hood (Uzawa-CG) at scale, with the same-mesh
     P1/P1 projection divergence comparison (VERDICT r2 #7: the LBB-stable
@@ -386,10 +387,14 @@ def run_th_sparse(
         # residual — warm-started steps finish in a fraction of the
         # h-scaled cap (measured at n_side=96 f32: 2.1 → 7.3 steps/s
         # with the weak divergence IMPROVING 2.07e-5 → 1.84e-5)
+        # vel_restarts: true-residual CG restarts per velocity solve —
+        # recovers the CSR engine's f32 accuracy level on the kernel
+        # engine (th_restart_ab_r5.jsonl; VERDICT r4 #5)
         gprob = th_sparse.GridTHProblem.build(
             prob,
             tol_inner=1e-8 if precision == "f64" else 1e-6,
             tol_outer=1e-9 if precision == "f64" else 2e-6,
+            vel_restarts=vel_restarts,
         )
         runner = lambda steps, **kw: th_sparse.run_grid(
             gprob, steps=steps, **kw)
@@ -748,6 +753,9 @@ def main(argv=None):
                         help="--th solver engine: csr (Uzawa-CG XLA ops) | "
                              "grid (whole-solve Pallas kernels per inner "
                              "solve — the TPU-speed LBB-stable path)")
+    parser.add_argument("--restarts", type=int, default=0,
+                        help="--th --engine grid: true-residual CG restarts "
+                             "per velocity solve (f32 accuracy lever)")
     parser.add_argument("--hbm-io", default="auto",
                         help="cg_hbm_io: auto | on | off (XL kernel mode)")
     parser.add_argument("--out", default=None, help="write JSONL here too")
@@ -757,7 +765,8 @@ def main(argv=None):
     if args.th:
         r = run_th_sparse(args.n_side, args.n_side, args.steps,
                           precision=args.precision or "f64",
-                          engine=args.engine)
+                          engine=args.engine,
+                          vel_restarts=args.restarts)
         r["label"] = f"th-{args.n_side}"
         print(json.dumps(r), flush=True)
         rows.append(r)
