@@ -4,16 +4,19 @@ The tolerance sweep (th_tol_ab_r5.jsonl) proved the grid engine's f32
 weak-divergence floor (~1.7e-5 at n_side=96) is NOT a tolerance choice:
 requesting 2e-7 outer leaves the floor unmoved, because the in-kernel
 CG's recurrence residual drifts from the true residual and the
-early-exit fires on the drifted estimate.  ``vel_restarts`` re-enters
-the velocity kernel with x0 = the previous solution — r0 is then one
-fresh f32 SpMV instead of the accumulated recurrence, the standard
-restarted-CG fix for finite-precision stagnation.  CPU interpret
-measurement at n_side=40: 1.5e-6 → 3.6e-8 weak divergence with one
-restart (41×); this script measures the same A/B on the TPU at the
-committed row's size and records throughput cost.
+early-exit fires on the drifted estimate.  ``vel_restarts`` runs
+iterative-refinement passes per velocity solve with the residual
+computed in XLA CSR arithmetic, correction solved in the kernel.
 
-Target (VERDICT r4 #5 "done" bar): a grid-engine config at ≤6.3e-6 —
-the CSR engine's f32 level on the same mesh (th_engine_ab_r5.jsonl).
+Two forms were measured (both kept in th_restart_ab_r5.jsonl):
+* in-kernel x0 restart — REJECTED: the kernel's roll/FMA operator is a
+  slightly different f32 A than the CSR matvec, so restarting against
+  it converges to the KERNEL operator's fixed point: measured WORSE on
+  hardware (1.76e-5 → 3.09e-5, identical plateau at restarts=1/2).
+* XLA-residual refinement (the shipped form) — r = m·(b − A·x) via the
+  CSR ops the CSR engine proves 6.3e-6-capable: measured 1.76e-5 →
+  2.03e-8 at restarts=1 with only −4% throughput (5.14 → 4.92
+  steps/s), 310× past the VERDICT r4 #5 target of ≤6.3e-6.
 
 Run from /root/repo: python benchmarks/th_restart_ab_r5.py [n_side]
 """

@@ -485,18 +485,18 @@ class GridTHProblem:
     act1: jnp.ndarray  # (ns1²,) real-pressure-slot indicator
     corner_slots: jnp.ndarray  # (N1,) pressure dof → P2 raster slot
     tol_outer: float = 0.0
-    vel_restarts: int = 0  # extra true-residual CG restarts per velocity
+    vel_restarts: int = 0  # iterative-refinement passes per velocity
     # solve (accuracy lever, VERDICT r4 #5).  The f32 in-kernel CG's
     # recurrence residual drifts from the true residual, so the
     # tolerance early-exit fires ~1e-5 short of what f32 can represent
     # (measured floor 1.7e-5 weak divergence at n_side=96 regardless of
-    # requested tol — th_tol_ab_r5.jsonl).  Each restart re-enters the
-    # kernel with x0 = the previous solution: r0 = b − A·x0 is then ONE
-    # fresh f32 SpMV (error ~1e-7·scale, not the accumulated recurrence
-    # drift), and the solve continues until the est-residual again meets
-    # tol·‖b‖ — the standard restarted-CG fix for finite-precision
-    # stagnation.  Cost: the restarted solve's iterations are few (warm
-    # start, small correction); measured A/B in th_engine_ab_r5.jsonl.
+    # requested tol — th_tol_ab_r5.jsonl).  Each pass computes the true
+    # residual r = m·(b − A·x) in XLA CSR arithmetic (the ordering the
+    # CSR engine proves reaches 6.3e-6 at f32) and solves only the
+    # small correction in the kernel.  NOT the in-kernel x0-restart:
+    # that form re-converges against the kernel's own roll/FMA operator
+    # — a slightly different f32 A — and measured WORSE on hardware
+    # (3.1e-5 plateau, th_restart_ab_r5.jsonl early rows).
 
     @classmethod
     def build(
@@ -720,10 +720,28 @@ def th_grid_step(gp: GridTHProblem, u: jnp.ndarray, p0: jnp.ndarray):
 
     solveA0 = gp.vel_solver.solve
     if gp.vel_restarts:
+        # Iterative refinement with the residual computed in XLA CSR
+        # arithmetic, NOT in-kernel.  The in-kernel x0-restart form was
+        # measured WORSE on hardware (th_restart_ab_r5.jsonl: 1.76e-5 →
+        # 3.09e-5 weak div, plateau identical at restarts=1/2): the
+        # kernel's roll/FMA operator apply is a slightly different f32
+        # A than the CSR matvec, so restarting against it converges to
+        # the KERNEL operator's fixed point — away from the CSR-measured
+        # system.  Computing r = m·(b − A·x) with the same CSR ops the
+        # CSR engine uses (proven 6.3e-6-capable at f32,
+        # th_engine_ab_r5.jsonl) and solving only the small correction
+        # in the kernel keeps the kernel's speed and the CSR path's
+        # attainable accuracy.
+        def A_mv(w):
+            return _mv(gp.M2g, w) / cfg.dt + (cfg.theta * cfg.nu) * _mv(
+                gp.K2g, w
+            )
+
         def solveA(b):
             x = solveA0(b)
             for _ in range(gp.vel_restarts):
-                x = solveA0(b, x0=x)
+                r = m * (b - A_mv(x))
+                x = x + m * solveA0(r)
             return x
     else:
         solveA = solveA0
